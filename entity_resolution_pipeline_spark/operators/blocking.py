@@ -1,0 +1,116 @@
+"""Blocking — inverted indexes as DataFrames, with explicit skew handling.
+
+The reference builds three dict-based inverted indexes (domain,
+country+prefix, rare-token: /root/reference/src/blocking.py:114-247) and
+probes them by merge (:254-396). Here an index IS a DataFrame
+``(block_key, source, url)``; probing is an equi-join, so Catalyst/AQE pick
+the physical join and the blocking table can be written/partitioned/reused.
+
+Skew (the north-rule centerpiece): per-key counts are computed first
+(word-count A2); keys above ``hot_threshold`` get triangular salting — a
+member with salt g is replicated to every salt-pair bucket (min(g,p),
+max(g,p)), bounding any single join task at ~(2·|block|/n_salts)² pairs
+while losing no cross-salt pair. Stop-keys above ``stop_threshold`` are
+dropped entirely (the reference's rare-token frequency cutoff,
+src/blocking.py:169).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.domains import hostname_col
+from ..functions.hashing import minhash_band_col, salt_col
+from ..functions.normalize import fingerprint_col, prefix_col, tokens_col
+
+# Per-source blocking scores (summed at pair aggregation, as in the
+# reference, src/blocking.py:380-385) — content-similarity keys (fp8, mh)
+# must outrank the domain prior: a mega-host block yields thousands of
+# dom-only co-occurrences that would otherwise tie with, and starve out,
+# true cross-domain duplicates under the top-N cap.
+SOURCE_SCORES = {"fp8": 3.0, "mh": 2.5, "dom": 1.0}
+
+
+def blocking_table(pages: DataFrame, n_bands: int = 12, prefix_k: int = 8,
+                   min_token_len: int = 2) -> DataFrame:
+    """pages(url, text_norm) → (block_key, source, url).
+
+    Three key families: normalized-domain eTLD+1, fingerprint-prefix, and
+    MinHash bands over the token set (reorder-invariant 1-shingles). One
+    narrow projection per family, unioned — no shuffle until pair-gen.
+    """
+    toks = tokens_col(F.col("text_norm"), min_token_len)
+    # full hostname, not eTLD+1: at web scale an eTLD+1 block (a hosting
+    # platform) is a useless mega-block; the host is the discriminative key
+    dom = pages.select(
+        F.concat(F.lit("dom:"), hostname_col(F.col("url"))).alias("block_key"),
+        F.lit("dom").alias("source"),
+        "url",
+    )
+    fp = pages.select(
+        F.concat(F.lit("fp8:"), prefix_col(fingerprint_col(F.col("text_norm"),
+                                                           min_token_len), prefix_k)
+                 ).alias("block_key"),
+        F.lit("fp8").alias("source"),
+        "url",
+    ).where(F.length("block_key") > 4)
+    mh = pages.select("url", toks.alias("toks")).where(F.size("toks") > 0)
+    bands = mh.select(
+        "url",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"mh:{b}:"), minhash_band_col(F.col("toks"), b))
+            for b in range(n_bands)
+        ])).alias("block_key"),
+    ).select("block_key", F.lit("mh").alias("source"), "url")
+    return dom.unionByName(fp).unionByName(bands)
+
+
+def key_stats(blocks: DataFrame) -> DataFrame:
+    """Distributed word-count over keys — drives salting + lineage."""
+    return blocks.groupBy("block_key").agg(F.count("*").alias("block_size"))
+
+
+def salted_blocking_table(
+    blocks: DataFrame,
+    hot_threshold: int = 64,
+    stop_threshold: int = 4096,
+    n_salts: int = 8,
+    n_docs: int | None = None,
+    stop_frac: float = 0.1,
+) -> DataFrame:
+    """Apply stop-key drop + triangular hot-key salting.
+
+    Output: (join_key, block_key, source, url) where join_key embeds the
+    salt-pair for hot keys. Cold keys pass through with join_key=block_key.
+
+    Stop keys: a key covering more than ``stop_frac`` of the corpus (e.g. a
+    MinHash band whose minimum lands on a ubiquitous token) carries no
+    similarity signal and would contribute O(n²) pairs — dropped, exactly as
+    the reference excludes over-frequent rare-token buckets
+    (src/blocking.py:169). ``stop_threshold`` is the absolute ceiling.
+    """
+    eff_stop = stop_threshold
+    if n_docs is not None:
+        eff_stop = min(stop_threshold, max(int(n_docs * stop_frac), hot_threshold))
+    stats = key_stats(blocks)
+    b = blocks.join(F.broadcast(stats.where(F.col("block_size") >= hot_threshold)),
+                    "block_key", "left")
+    b = b.where(F.coalesce(F.col("block_size"), F.lit(0)) < eff_stop)
+
+    cold = b.where(F.col("block_size").isNull()).select(
+        F.col("block_key").alias("join_key"), "block_key", "source", "url")
+
+    hot = b.where(F.col("block_size").isNotNull()) \
+        .withColumn("g", salt_col(F.col("url"), n_salts))
+    hot = hot.select(
+        "block_key", "source", "url", "g",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("p"),
+    ).select(
+        F.concat_ws(
+            "#", "block_key",
+            F.least("g", "p").cast("string"), F.greatest("g", "p").cast("string"),
+        ).alias("join_key"),
+        "block_key", "source", "url",
+    )
+    return cold.unionByName(hot)

@@ -1,0 +1,96 @@
+"""Transitive closure — iterative large-star/small-star connected components.
+
+The reference only does one-hop family grouping
+(/root/reference/src/orbis_graph.py:34-108); the north rule requires true
+transitive clustering, so this is the alternating large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) over an edge DataFrame:
+
+  large-star: every node u points its *larger* neighbors at
+              m(u) = min(N(u) ∪ {u})
+  small-star: every node u points its *smaller-or-equal* neighbors (and
+              itself) at the minimum of that set
+
+Each round is 1–2 shuffles; ``localCheckpoint`` truncates lineage per
+iteration (the Spark analog of the reference writing stage Parquets);
+convergence is a (count, checksum) fixpoint test — two scalars per round.
+Node ids are strings ordered lexicographically; cluster id = min member.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("src", "mn").alias("m"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    sym = _symmetrize(edges).where(F.col("dst") <= F.col("src"))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("m"))
+    moved = (
+        sym.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return moved.unionByName(self_edges).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # pmod-bounded per-row hash so the sum cannot overflow long (ANSI mode)
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(2**31))), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(src, dst) → labels(url, cluster_id); singletons excluded
+    (callers left-join and coalesce to self)."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _large_star(e)
+        e = _small_star(e).localCheckpoint()
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: every edge points a node at its component minimum
+    sym = _symmetrize(e)
+    labels = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    return labels.select(
+        F.col("src").alias("url"),
+        F.least("src", "mn").alias("cluster_id"),
+    )
+
+
+def assign_clusters(nodes: DataFrame, edges: DataFrame, id_col: str = "url") -> DataFrame:
+    """All nodes labeled; non-matched nodes become their own singleton."""
+    labels = connected_components(edges)
+    return (
+        nodes.select(F.col(id_col).alias("url")).distinct()
+        .join(labels, "url", "left")
+        .select("url", F.coalesce("cluster_id", "url").alias("cluster_id"))
+    )

@@ -1,0 +1,145 @@
+"""Pairwise feature computation + match scoring (F1-F13, D1-D3).
+
+Feature assembly is two left equi-joins of the candidate pairs against the
+page-attribute table (reference: /root/reference/src/features.py:698-701);
+the big side sort-merge-joins, dims broadcast. Features are native Column
+expressions except Jaro-Winkler / token-sort-ratio, which run in the
+similarity pandas UDF (sanctioned touchpoint #2). Lengthy strings are capped
+before the O(n²) string metrics — the metric is computed on the fingerprint
+head, which is what the reference effectively compares for long names.
+
+Scoring paths:
+  * heuristic: calibrated weighted blend (deterministic, model-free, used by
+    the minimal slice and tests);
+  * learned: ``pyspark.ml`` GBTClassifier trained on labeled pairs
+    (north-star "broadcast gradient-boosted classifier" — spark.ml
+    broadcasts the fitted ensemble to executors inside its transform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.domains import etld1_col
+from ..functions.normalize import fingerprint_col, prefix_col, tokens_col
+from ..functions.similarity import (
+    jaro_winkler_udf, levenshtein_ratio_col, token_jaccard_col,
+)
+
+FEATURE_COLS = [
+    "token_jaccard", "jw_fingerprint", "lev_ratio_prefix",
+    "domain_exact", "prefix_match", "size_ratio",
+]
+
+
+def page_attrs(pages: DataFrame, jw_cap: int = 48) -> DataFrame:
+    """Narrow per-page projection the scorer joins against (url, derived)."""
+    return pages.select(
+        "url",
+        tokens_col(F.col("text_norm"), 2).alias("toks"),
+        fingerprint_col(F.col("text_norm"), 2).alias("fp"),
+        etld1_col(F.col("url")).alias("dom"),
+    ).withColumn("fp_head", F.substring("fp", 1, jw_cap)) \
+     .withColumn("p16", prefix_col(F.col("fp"), 16))  # order-invariant prefix
+
+
+def compute_features(pairs: DataFrame, attrs: DataFrame) -> DataFrame:
+    a = attrs.select(
+        F.col("url").alias("_ua"),
+        *[F.col(c).alias(f"{c}_a") for c in attrs.columns if c != "url"],
+    )
+    b = attrs.select(
+        F.col("url").alias("_ub"),
+        *[F.col(c).alias(f"{c}_b") for c in attrs.columns if c != "url"],
+    )
+    df = (
+        pairs.join(a, F.col("url_a") == F.col("_ua"), "left").drop("_ua")
+        .join(b, F.col("url_b") == F.col("_ub"), "left").drop("_ub")
+    )
+    sz_a = F.size("toks_a").cast("double")
+    sz_b = F.size("toks_b").cast("double")
+    return df.select(
+        "url_a", "url_b",
+        F.col("blocking_score"),
+        token_jaccard_col(F.col("toks_a"), F.col("toks_b")).alias("token_jaccard"),
+        jaro_winkler_udf(F.col("fp_head_a"), F.col("fp_head_b")).alias("jw_fingerprint"),
+        levenshtein_ratio_col(F.col("p16_a"), F.col("p16_b")).alias("lev_ratio_prefix"),
+        (F.col("dom_a") == F.col("dom_b")).cast("double").alias("domain_exact"),
+        (F.col("p16_a") == F.col("p16_b")).cast("double").alias("prefix_match"),
+        F.when(F.greatest(sz_a, sz_b) > 0,
+               F.least(sz_a, sz_b) / F.greatest(sz_a, sz_b)
+               ).otherwise(F.lit(0.0)).alias("size_ratio"),
+    )
+
+
+def heuristic_score(features: DataFrame) -> DataFrame:
+    """Deterministic calibrated blend in [0,1] — model-free scorer.
+
+    Token-Jaccard dominates (it is reorder/diacritic-noise invariant under
+    the canonical extractor); JW and prefix act as confirmations; domain
+    equality is a weak prior (mirrors are common in web dup clusters).
+    """
+    s = (
+        0.55 * F.col("token_jaccard")
+        + 0.20 * F.col("jw_fingerprint")
+        + 0.10 * F.col("lev_ratio_prefix")
+        + 0.10 * F.col("prefix_match")
+        + 0.05 * F.col("domain_exact")
+    )
+    return features.withColumn("p_match", F.round(s, 6))
+
+
+def match_edges(scored: DataFrame, threshold: float = 0.45) -> DataFrame:
+    return scored.where(F.col("p_match") >= threshold).select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
+
+
+# ---- learned scorer (spark.ml GBT) -------------------------------------------
+
+
+def train_gbt(train_features: DataFrame, label_col: str = "label", seed: int = 42):
+    """GBTClassifier over FEATURE_COLS; fitted model broadcasts JVM-side."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    asm = VectorAssembler(inputCols=FEATURE_COLS, outputCol="fvec")
+    gbt = GBTClassifier(
+        featuresCol="fvec", labelCol=label_col, maxIter=40, maxDepth=4, seed=seed,
+    )
+    data = asm.transform(train_features.withColumn(label_col, F.col(label_col).cast("double")))
+    return asm, gbt.fit(data)
+
+
+def apply_gbt(features: DataFrame, asm, model) -> DataFrame:
+    from pyspark.ml.functions import vector_to_array
+
+    out = model.transform(asm.transform(features))
+    return out.withColumn(
+        "p_match", F.round(vector_to_array("probability")[1], 6)
+    ).drop("fvec", "rawPrediction", "probability", "prediction")
+
+
+# ---- decisioning (D1-D3) ------------------------------------------------------
+
+TIER_A, TIER_B, TIER_C = 0.98, 0.93, 0.75
+
+
+def assign_tiers(scored: DataFrame) -> DataFrame:
+    """Nested when() tier column (reference thresholds,
+    /root/reference/src/decisioning.py:30-91)."""
+    p = F.col("p_match")
+    return scored.withColumn(
+        "tier",
+        F.when(p >= TIER_A, "A").when(p >= TIER_B, "B")
+         .when(p >= TIER_C, "C").otherwise("REJECT"),
+    )
+
+
+def flag_conflicts(matches: DataFrame) -> DataFrame:
+    """Many-to-one detection via window count (D3,
+    /root/reference/src/decisioning.py:198-216)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url_b")
+    return matches.withColumn("conflict", F.count("*").over(w) > 1)

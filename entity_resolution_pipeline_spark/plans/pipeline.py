@@ -1,0 +1,151 @@
+"""The staged ER pipeline: extract → block → pairs → score → cluster.
+
+Stage semantics mirror the reference's step DAG
+(/root/reference/run_pipeline.py:788-804) re-homed to Spark: each stage is a
+lazy-DataFrame function; a stage *commits* by writing its output table via
+TableIO plus per-partition lineage rows (blocking-key range, pair count,
+score histogram — the north-star audit payload) to the audit log; the runner
+resumes from the last committed stage (run_pipeline.py:884-893 semantics).
+
+Shuffle budget per full run: 1 (pair self-join on salted key) + 1 (pair
+group-agg) + 1 (top-N window) + 2 per CC round + metric aggs. Extraction and
+blocking-key derivation are narrow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.blocking import blocking_table, key_stats, salted_blocking_table
+from ..operators.clustering import assign_clusters
+from ..operators.pairs import candidate_pairs
+from ..operators.scoring import (
+    compute_features, heuristic_score, match_edges, page_attrs,
+)
+from ..functions.normalize import extract_text_udf
+from ..sources.tableio import TableIO
+
+
+@dataclass
+class PipelineConfig:
+    n_bands: int = 12
+    prefix_k: int = 8
+    hot_threshold: int = 64
+    stop_threshold: int = 100_000
+    n_salts: int = 8
+    top_n: int | None = 300
+    threshold: float = 0.45
+    stop_frac: float = 0.1
+    repartition_blocks: int | None = None  # explicit repartition('join_key')
+    extra: dict = field(default_factory=dict)
+
+
+STAGES = ["extract", "blocks", "pairs", "scored", "clusters"]
+
+
+def stage_extract(pages: DataFrame) -> DataFrame:
+    """html → canonical text (extractor pUDF); narrow, no shuffle."""
+    return pages.withColumn("text_norm", extract_text_udf(F.col("html")))
+
+
+def stage_blocks(extracted: DataFrame, cfg: PipelineConfig,
+                 n_docs: int | None = None) -> DataFrame:
+    blocks = blocking_table(extracted.select("url", "text_norm"),
+                            n_bands=cfg.n_bands, prefix_k=cfg.prefix_k)
+    salted = salted_blocking_table(
+        blocks, hot_threshold=cfg.hot_threshold,
+        stop_threshold=cfg.stop_threshold, n_salts=cfg.n_salts,
+        n_docs=n_docs, stop_frac=cfg.stop_frac)
+    if cfg.repartition_blocks:
+        salted = salted.repartition(cfg.repartition_blocks, "join_key")
+    return salted
+
+
+def stage_pairs(salted: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return candidate_pairs(salted, top_n=cfg.top_n)
+
+
+def stage_scored(pairs: DataFrame, extracted: DataFrame) -> DataFrame:
+    attrs = page_attrs(extracted.select("url", "text_norm"))
+    return heuristic_score(compute_features(pairs, attrs))
+
+
+def stage_clusters(scored: DataFrame, extracted: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    edges = match_edges(scored, threshold=cfg.threshold)
+    return assign_clusters(extracted.select("url"), edges)
+
+
+def _score_histogram(scored: DataFrame, buckets: int = 10) -> list[dict]:
+    hist = (
+        scored.select(F.least(F.floor(F.col("p_match") * buckets), F.lit(buckets - 1))
+                      .alias("bucket"))
+        .groupBy("bucket").count().orderBy("bucket").collect()
+    )
+    return [{"bucket": int(r["bucket"]), "count": int(r["count"])} for r in hist]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    io: TableIO,
+    cfg: PipelineConfig | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Run (or resume) all stages; returns the clusters DataFrame.
+
+    A committed stage is never recomputed on resume — subsequent stages read
+    its table, exactly like the reference's checkpoint-skip.
+    """
+    cfg = cfg or PipelineConfig()
+
+    def committed(name: str) -> bool:
+        return resume and io.is_committed(name)
+
+    if not committed("extract"):
+        extracted = stage_extract(pages)
+        io.write("extract", extracted, meta={"stage": "extract"})
+        io.append_audit([{"stage": "extract", "rows": io.read("extract").count()}])
+    extracted = io.read("extract")
+    n_docs = extracted.count()
+
+    if not committed("blocks"):
+        salted = stage_blocks(extracted, cfg, n_docs=n_docs)
+        io.write("blocks", salted, meta={"stage": "blocks"})
+        stats = key_stats(io.read("blocks").select(F.col("block_key"), "url"))
+        summ = stats.agg(
+            F.count("*").alias("n_keys"), F.max("block_size").alias("max_block"),
+            F.min("block_key").alias("key_min"), F.max("block_key").alias("key_max"),
+        ).collect()[0]
+        io.append_audit([{
+            "stage": "blocks", "n_keys": int(summ["n_keys"]),
+            "max_block": int(summ["max_block"]),
+            "block_key_range": [summ["key_min"], summ["key_max"]],
+        }])
+    salted = io.read("blocks")
+
+    if not committed("pairs"):
+        pairs = stage_pairs(salted, cfg)
+        io.write("pairs", pairs, meta={"stage": "pairs"})
+        io.append_audit([{"stage": "pairs", "pair_count": io.read("pairs").count()}])
+    pairs = io.read("pairs")
+
+    if not committed("scored"):
+        scored = stage_scored(pairs, extracted)
+        io.write("scored", scored, meta={"stage": "scored"})
+        io.append_audit([{
+            "stage": "scored",
+            "score_histogram": _score_histogram(io.read("scored")),
+        }])
+    scored = io.read("scored")
+
+    if not committed("clusters"):
+        clusters = stage_clusters(scored, extracted, cfg)
+        io.write("clusters", clusters, meta={"stage": "clusters"})
+        io.append_audit([{
+            "stage": "clusters",
+            "n_clusters": io.read("clusters").select("cluster_id").distinct().count(),
+        }])
+    return io.read("clusters")

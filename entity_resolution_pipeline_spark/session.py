@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the pipeline.
+
+Arrow transfer on (every Python touchpoint is a pandas UDF over Arrow
+batches), AQE on (runtime re-plan: partition coalescing + skew-join
+splitting), shuffle partitions sized to the parallelism level so local[k]
+benchmarking reflects per-core work rather than scheduling overhead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | None = None,
+    app_name: str = "entity-resolution-pipeline-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores=None`` → ``local[*]``. On a real cluster this function is not
+    used — ``spark-submit`` provides the session and these confs move to
+    ``spark-defaults``; everything downstream only touches the SparkSession
+    interface.
+    """
+    master = f"local[{cores}]" if cores else os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    n = cores or os.cpu_count() or 8
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

