@@ -59,6 +59,8 @@ def jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
             j += 1
     t //= 2
     jaro = (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+    if jaro <= 0.7:  # standard Winkler boost threshold (rapidfuzz/DuckDB)
+        return jaro
     prefix = 0
     for a, b in zip(s1, s2):
         if a == b and prefix < 4:

@@ -1,0 +1,90 @@
+"""Blocking recall + skew-salting tests (T4)."""
+
+import pyspark.sql.functions as F
+
+from entity_resolution_pipeline_spark.operators.blocking import (
+    blocking_table, key_stats, salted_blocking_table,
+)
+from entity_resolution_pipeline_spark.operators.pairs import candidate_pairs
+from entity_resolution_pipeline_spark.plans.pipeline import stage_extract
+from entity_resolution_pipeline_spark.sources.pages import HOT_DOMAIN
+
+
+def _blocks(spark, fixtures):
+    extracted = stage_extract(fixtures["pages"]).select("url", "text_norm")
+    return blocking_table(extracted)
+
+
+def test_blocking_recall(spark, fixtures):
+    """Blocking recall (FIXTURES.md §5a): most label=1 pairs co-block
+    directly, and EVERY member of a non-singleton cluster co-blocks with at
+    least one same-cluster peer (transitive closure then recovers the rest —
+    the cluster-level guarantee is the e2e F1 gate)."""
+    blocks = _blocks(spark, fixtures).select("block_key", "url").distinct()
+    # drop the fixture's own block_key column — it would shadow the USING join
+    lp = fixtures["labeled_pairs"].where("label = 1").select("url_a", "url_b")
+    a = blocks.withColumnRenamed("url", "url_a")
+    b = blocks.withColumnRenamed("url", "url_b")
+    coblocked = lp.join(a, "url_a").join(b, ["url_b", "block_key"]) \
+                  .select("url_a", "url_b").distinct()
+    n_pos = lp.count()
+    missed = lp.join(coblocked, ["url_a", "url_b"], "left_anti").count()
+    assert missed / n_pos < 0.15, (missed, n_pos)
+
+    # per-member reachability: some same-cluster co-block partner exists
+    golden = fixtures["golden_clusters"]
+    sizes = golden.groupBy("cluster_id").count()
+    multi = golden.join(sizes.where("count > 1"), "cluster_id").select("url", "cluster_id")
+    ga = multi.withColumnRenamed("url", "url_a").withColumnRenamed("cluster_id", "c_a")
+    gb = multi.withColumnRenamed("url", "url_b").withColumnRenamed("cluster_id", "c_b")
+    peer_pairs = (
+        blocks.withColumnRenamed("url", "url_a").join(ga, "url_a")
+        .join(blocks.withColumnRenamed("url", "url_b"), "block_key")
+        .join(gb, "url_b")
+        .where((F.col("url_a") != F.col("url_b")) & (F.col("c_a") == F.col("c_b")))
+    )
+    covered = peer_pairs.select(F.col("url_a").alias("url")).distinct()
+    uncovered = multi.join(covered, "url", "left_anti").count()
+    assert uncovered == 0
+
+
+def test_hot_keys_are_salted_and_stop_keys_dropped(spark, fixtures):
+    blocks = _blocks(spark, fixtures)
+    n_docs = fixtures["pages"].count()
+    salted = salted_blocking_table(blocks, hot_threshold=16, n_salts=4,
+                                   n_docs=n_docs, stop_frac=0.5)
+    stats = key_stats(blocks)
+    hot_dom = f"dom:{HOT_DOMAIN}"
+    hot_size = stats.where(F.col("block_key") == hot_dom).collect()[0]["block_size"]
+    assert hot_size >= 16, "fixture must plant a hot domain"
+    # hot key members now carry salt-pair join keys, not the bare key
+    hot_rows = salted.where(F.col("block_key") == hot_dom)
+    assert hot_rows.where(F.col("join_key") == F.col("block_key")).count() == 0
+    # triangular replication: each member appears n_salts times
+    per_member = hot_rows.groupBy("url").count().agg(F.min("count"), F.max("count")).collect()[0]
+    assert per_member[0] == 4 and per_member[1] == 4
+    # stop keys (> stop_frac * corpus) gone entirely
+    stop_keys = [r["block_key"] for r in
+                 stats.where(F.col("block_size") > n_docs * 0.5).collect()]
+    if stop_keys:
+        assert salted.where(F.col("block_key").isin(stop_keys)).count() == 0
+
+
+def test_salting_loses_no_pairs(spark, fixtures):
+    """Pairs from the salted plan == pairs from the unsalted plan
+    (FIXTURES.md §5b: hot keys split yet lose no cross-salt pairs)."""
+    blocks = _blocks(spark, fixtures)
+    unsalted = salted_blocking_table(blocks, hot_threshold=10**9, n_salts=1)
+    salted = salted_blocking_table(blocks, hot_threshold=8, n_salts=5)
+    p_un = candidate_pairs(unsalted, top_n=None).select("url_a", "url_b", "blocking_score")
+    p_sa = candidate_pairs(salted, top_n=None).select("url_a", "url_b", "blocking_score")
+    assert p_un.exceptAll(p_sa).count() == 0
+    assert p_sa.exceptAll(p_un).count() == 0
+
+
+def test_pair_generation_is_ordered_and_deduped(spark, fixtures):
+    blocks = _blocks(spark, fixtures)
+    salted = salted_blocking_table(blocks, hot_threshold=16, n_salts=4)
+    pairs = candidate_pairs(salted, top_n=50)
+    assert pairs.where(F.col("url_a") >= F.col("url_b")).count() == 0
+    assert pairs.groupBy("url_a", "url_b").count().where("count > 1").count() == 0

@@ -1,0 +1,62 @@
+"""Connected components vs an independent union-find oracle (T2b)."""
+
+import random
+
+import pytest
+
+from entity_resolution_pipeline_spark.operators.clustering import (
+    assign_clusters, connected_components,
+)
+
+
+def union_find_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("n_nodes,n_edges,seed", [
+    (50, 40, 1), (200, 150, 2), (100, 300, 3),
+])
+def test_cc_matches_union_find(spark, n_nodes, n_edges, seed):
+    rng = random.Random(seed)
+    edges = [(f"n{rng.randrange(n_nodes):04d}", f"n{rng.randrange(n_nodes):04d}")
+             for _ in range(n_edges)]
+    edges = [(a, b) for a, b in edges if a != b]
+    oracle = union_find_oracle(edges)
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {r["url"]: r["cluster_id"] for r in connected_components(df).collect()}
+    # oracle roots are min-ids because union always keeps the smaller root
+    assert got == oracle
+
+
+def test_cc_chain_and_singleton(spark):
+    # a long path exercises the iterative contraction (diameter >> 1)
+    chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(60)]
+    nodes = spark.createDataFrame(
+        [(f"c{i:03d}",) for i in range(61)] + [("lonely",)], "url: string")
+    edges = spark.createDataFrame(chain, "src: string, dst: string")
+    labels = {r["url"]: r["cluster_id"] for r in assign_clusters(nodes, edges).collect()}
+    assert all(labels[f"c{i:03d}"] == "c000" for i in range(61))
+    assert labels["lonely"] == "lonely"
+
+
+def test_cc_self_loops_and_duplicates(spark):
+    edges = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "a"), ("a", "b")], "src: string, dst: string")
+    got = {r["url"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a"}
