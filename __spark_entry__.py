@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end entity-resolution pipeline
+(extract → block → pair → score → cluster) over a deterministic pages corpus
+derived from the sf0.001 documents table and returns the cluster assignment.
+
+``queries()`` / ``oracle_sql()`` expose the full operator battery
+(entity_resolution_pipeline_spark/plans/benchqueries.py) — relational ops,
+window functions, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+ANN cosine top-k, text analysis, connected components, multimodal plumbing —
+each checked against a DuckDB oracle at sf=0.01 by the driver.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ER pipeline at sf0.001; returns clusters(url, cluster_id)."""
+    from entity_resolution_pipeline_spark.plans.pipeline import (
+        PipelineConfig, run_pipeline,
+    )
+    from entity_resolution_pipeline_spark.sources.pages import pages_from_documents
+    from entity_resolution_pipeline_spark.sources.tableio import TableIO
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001", variants=4)
+    io = TableIO(spark, tempfile.mkdtemp(prefix="er_entry_"))
+    cfg = PipelineConfig(n_bands=8, top_n=100)
+    return run_pipeline(spark, pages.drop("true_cluster"), io, cfg, resume=False)
+
+
+def _er_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: the full pipeline over pages derived from sf_dir
+    documents (pUDF extraction + iterative CC — not SQL-expressible)."""
+    from entity_resolution_pipeline_spark.plans.pipeline import (
+        PipelineConfig, run_pipeline,
+    )
+    from entity_resolution_pipeline_spark.sources.pages import pages_from_documents
+    from entity_resolution_pipeline_spark.sources.tableio import TableIO
+
+    pages = pages_from_documents(spark, sf_dir, variants=4)
+    io = TableIO(spark, tempfile.mkdtemp(prefix="er_q_"))
+    cfg = PipelineConfig(n_bands=8, top_n=100)
+    return run_pipeline(spark, pages.drop("true_cluster"), io, cfg, resume=False)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from entity_resolution_pipeline_spark.plans.benchqueries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    out["er_pipeline_clusters"] = _er_pipeline_clusters
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from entity_resolution_pipeline_spark.plans.benchqueries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

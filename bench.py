@@ -1,0 +1,132 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Headline = the flagship ER pipeline (extract → block → pair → score →
+cluster) over a pages corpus derived from the documents table, plus the
+operator battery's heavy representatives. The ER stage also reports the
+north-star throughput metric: candidate-pairs-scored per second.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for local[k] (default 32)
+  BENCH_VARIANTS       near-dup variants per document for the ER corpus
+                       (default 8 → sf0.1 ⇒ 40k pages)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from entity_resolution_pipeline_spark.plans import benchqueries as bq  # noqa: E402
+from entity_resolution_pipeline_spark.plans.pipeline import (  # noqa: E402
+    PipelineConfig, stage_blocks, stage_clusters, stage_extract, stage_pairs,
+    stage_scored,
+)
+from entity_resolution_pipeline_spark.session import get_spark  # noqa: E402
+from entity_resolution_pipeline_spark.sources.pages import pages_from_documents  # noqa: E402
+
+BATTERY = [
+    "tpch_q1", "revenue_by_region", "top3_orders_per_customer",
+    "running_revenue", "events_sessionize", "docs_fingerprint",
+    "dedup_lsh_pairs", "dedup_simhash", "ann_topk", "connected_components",
+]
+
+
+def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
+    """Timed staged run; returns per-stage seconds + pair throughput."""
+    tmp = tempfile.mkdtemp(prefix="bench_er_")
+    times: dict[str, float] = {}
+    try:
+        pages = pages_from_documents(spark, sf_dir, variants=variants).drop("true_cluster")
+        cfg = PipelineConfig(n_bands=8, top_n=100, repartition_blocks=None)
+
+        t0 = time.perf_counter()
+        extracted = stage_extract(pages)
+        extracted.write.mode("overwrite").parquet(f"{tmp}/extract")
+        extracted = spark.read.parquet(f"{tmp}/extract")
+        n_pages = extracted.count()
+        times["extract"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        salted = stage_blocks(extracted, cfg, n_docs=n_pages)
+        salted.write.mode("overwrite").parquet(f"{tmp}/blocks")
+        salted = spark.read.parquet(f"{tmp}/blocks")
+        times["blocks"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        pairs = stage_pairs(salted, cfg)
+        pairs.write.mode("overwrite").parquet(f"{tmp}/pairs")
+        pairs = spark.read.parquet(f"{tmp}/pairs")
+        n_pairs = pairs.count()
+        times["pairs"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        scored = stage_scored(pairs, extracted)
+        scored.write.mode("overwrite").parquet(f"{tmp}/scored")
+        scored = spark.read.parquet(f"{tmp}/scored")
+        times["score"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        clusters = stage_clusters(scored, extracted, cfg)
+        n_clusters = clusters.select("cluster_id").distinct().count()
+        times["cluster"] = time.perf_counter() - t0
+
+        return {
+            "stage_sec": {k: round(v, 3) for k, v in times.items()},
+            "n_pages": n_pages,
+            "n_pairs": n_pairs,
+            "n_clusters": n_clusters,
+            "pairs_scored_per_sec": round(n_pairs / max(times["score"], 1e-9), 1),
+            "er_total_sec": round(sum(times.values()), 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    variants = int(os.environ.get("BENCH_VARIANTS", "8"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(cores=cpus, shuffle_partitions=max(cpus, 8),
+                      app_name="er-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    er = run_er_pipeline(spark, sf_dir, variants)
+    queries["er_pipeline"] = round(time.perf_counter() - t0, 3)
+
+    for name in BATTERY:
+        fn = bq.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        queries[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "er": er,
+    }))
+
+
+if __name__ == "__main__":
+    main()

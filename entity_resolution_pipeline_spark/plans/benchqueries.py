@@ -1,0 +1,917 @@
+"""The engine's query battery: Spark implementations + ANSI-SQL oracles.
+
+Every operator family from SURVEY.md §2 (and the training-data-pipeline
+extensions: dedup, ANN, text analysis, multimodal) is exercised by at least
+one named query over the driver testdata tables. For each query there is
+
+* a Spark callable ``(spark, sf_dir) -> DataFrame`` (in ``QUERIES``), and
+* an equivalent DuckDB SQL string (in ``ORACLE_SQL``) over the same parquet
+  tables, used by the driver's side-by-side correctness check.
+
+Column names are aliased identically on both sides (the compare hashes
+values after sorting columns by name). Doubles that aggregate across rows
+are rounded on both sides so IEEE summation-order differences between
+engines cannot flip the hash. Hashing-based signatures (MinHash, SimHash)
+are built on md5 specifically so DuckDB reproduces them bit-for-bit
+(see functions/hashing.py).
+
+Queries whose semantics SQL cannot express (iterative CC inside the full ER
+pipeline with pUDF extraction) are registered without an oracle — the
+driver records the weaker rows-only check for those, per contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import minhash_band_col, shingles_col, simhash_col
+from ..functions.normalize import (
+    acronym_col, fingerprint_col, normalize_ascii_col, prefix_col,
+)
+from ..functions.textstats import (
+    LANG_STOPWORDS, bpe_ish_token_count_col, content_hash_col, lang_id_col,
+    quality_score_col, token_count_col,
+)
+from ..operators.ann import brute_force_topk
+from ..operators.dedup import (
+    lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs, simhash_table,
+)
+from ..operators.clustering import assign_clusters
+from ..operators.multimodal import decode_media, media_stats, media_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =============================================================================
+# Relational battery (TPC-H-ish): scans, filters, joins, aggs, windows, sets
+# =============================================================================
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: filter → hash agg with partial map-side combine (A1/A10)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_qty,
+       round(CAST(AVG(l_discount) AS DOUBLE), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_region(spark, sf_dir):
+    """3-way join with broadcast dims (J3/J7): region⋈nation⋈customer⋈orders."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_REGION = """
+SELECT r.r_name AS region_name,
+       round(CAST(SUM(o.o_totalprice) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o.o_custkey) AS n_customers
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_top3_orders_per_customer(spark, sf_dir):
+    """Top-N per group via row_number window with deterministic tie-break (W1)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rn").alias("rnk"),
+        )
+    )
+
+
+ORACLE_TOP3_ORDERS = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       round(CAST(o_totalprice AS DOUBLE), 2) AS totalprice, rn AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_customer_order_profile(spark, sf_dir):
+    """Group-agg with collect_set → sorted pipe-join (A4) + first/min (A3)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|")
+             .alias("priorities"),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_ORDER_PROFILE = """
+SELECT o_custkey AS custkey,
+       COUNT(*) AS n_orders,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
+       MIN(o_orderkey) AS first_orderkey,
+       round(CAST(MAX(o_totalprice) AS DOUBLE), 2) AS max_price
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join (J5): customers with no pending ('P'-status) orders."""
+    cust = _t(spark, sf_dir, "customer")
+    pending = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return cust.join(
+        pending, cust.c_custkey == pending.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+"""
+
+
+def q_parts_multi_supplier(spark, sf_dir):
+    """Semi-join + window-count conflict detection (J6/D3): parts supplied by
+    more than one supplier in lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.select("l_partkey", "l_suppkey").distinct()
+    w = Window.partitionBy("l_partkey")
+    return (
+        per.withColumn("n_suppliers", F.count("*").over(w))
+        .where(F.col("n_suppliers") > 1)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.max("n_suppliers").alias("n_suppliers"))
+    )
+
+
+ORACLE_PARTS_MULTI_SUPPLIER = """
+SELECT l_partkey AS partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+GROUP BY l_partkey
+HAVING COUNT(DISTINCT l_suppkey) > 1
+"""
+
+
+def q_rollup_orders(spark, sf_dir):
+    """Multi-dim lineage stats via rollup (A11)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "n", "revenue",
+        )
+    )
+
+
+ORACLE_ROLLUP_ORDERS = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       COUNT(*) AS n, round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_running_revenue(spark, sf_dir):
+    """Running cumulative aggregate per key (W5) with total-order tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_revenue"),
+    )
+
+
+ORACLE_RUNNING_REVENUE = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       round(CAST(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS cum_revenue
+FROM orders
+"""
+
+
+def q_order_year_quarter(spark, sf_dir):
+    """Date-part extraction (P16) + when() bucketing (P17/D1)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.when(F.col("o_totalprice") >= 300000, "A")
+         .when(F.col("o_totalprice") >= 150000, "B")
+         .when(F.col("o_totalprice") >= 50000, "C")
+         .otherwise("REJECT").alias("tier"),
+    )
+
+
+ORACLE_ORDER_YEAR_QUARTER = """
+SELECT o_orderkey AS orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       CASE WHEN o_totalprice >= 300000 THEN 'A'
+            WHEN o_totalprice >= 150000 THEN 'B'
+            WHEN o_totalprice >= 50000 THEN 'C'
+            ELSE 'REJECT' END AS tier
+FROM orders
+"""
+
+
+def q_priority_except(spark, sf_dir):
+    """Relational EXCEPT (U3): priorities seen in open but never finished orders."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("priority"))
+    b = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority"))
+    return a.exceptAll(b).distinct()
+
+
+ORACLE_PRIORITY_EXCEPT = """
+SELECT DISTINCT priority FROM (
+  SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT ALL
+  SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+)
+"""
+
+
+# =============================================================================
+# Events: forward-fill, sessionization, JSON extraction
+# =============================================================================
+
+
+def q_events_ffill(spark, sf_dir):
+    """Forward-fill via last(ignorenulls) frame window (W3 / S3 ffill)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    big = F.when(F.col("value") > 100.0, F.col("value"))
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.last(big, ignorenulls=True).over(w), 4).alias("last_big_value"),
+    )
+
+
+ORACLE_EVENTS_FFILL = """
+SELECT event_id, user_id,
+       round(CAST(last_value(CASE WHEN value > 100.0 THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+         AS last_big_value
+FROM events
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: lag → gap flag → cumulative session index (W5)."""
+    ev = _t(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # ntz-safe (session tz UTC)
+    gap = epoch - F.lag(epoch).over(order_w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum_w = order_w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .select(
+            "event_id", "user_id",
+            F.sum("new_sess").over(cum_w).alias("session_idx"),
+        )
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = """
+SELECT event_id, user_id,
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+FROM (
+  SELECT *, CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                 OR lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """JSON-in-string extraction (P18/D4 analog): props.k as int."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+"""
+
+
+def q_events_type_stats(spark, sf_dir):
+    """value_counts + conditional aggregates (A5/A10)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0)).alias("n_big"),
+            F.round(F.avg((F.col("value") > 100.0).cast("int")), 6).alias("rate_big"),
+        )
+    )
+
+
+ORACLE_EVENTS_TYPE_STATS = """
+SELECT event_type, COUNT(*) AS n,
+       round(CAST(AVG(value) AS DOUBLE), 4) AS avg_value,
+       CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       round(CAST(AVG(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS rate_big
+FROM events
+GROUP BY event_type
+"""
+
+
+# =============================================================================
+# Text analysis over documents (normalize, fingerprint, lang-id, quality)
+# =============================================================================
+
+
+def q_docs_normalize(spark, sf_dir):
+    """Canonical normalization chain, native ASCII path (P1-P3)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_ascii_col(F.col("text")).alias("text_norm"))
+
+
+ORACLE_DOCS_NORMALIZE = r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(regexp_replace(coalesce(text, ''),
+             '[^a-zA-Z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS text_norm
+FROM documents
+"""
+
+
+def q_docs_fingerprint(spark, sf_dir):
+    """Fingerprint / prefix / acronym / token count (P5-P8)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_ascii_col(F.col("text"))
+    fp = fingerprint_col(norm, 2)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        prefix_col(fp, 8).alias("prefix8"),
+        acronym_col(fp).alias("acronym"),
+        token_count_col(norm).alias("n_tokens"),
+    )
+
+
+ORACLE_DOCS_FINGERPRINT = r"""
+WITH n AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(regexp_replace(coalesce(text, ''),
+               '[^a-zA-Z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS tn
+  FROM documents
+), f AS (
+  SELECT doc_id, tn,
+         array_to_string(list_sort(list_distinct(
+           list_filter(string_split_regex(tn, '\s+'), t -> len(t) >= 2 AND t <> ''))), ' ')
+           AS fingerprint
+  FROM n
+)
+SELECT doc_id, fingerprint,
+       substring(regexp_replace(fingerprint, '\s', '', 'g'), 1, 8) AS prefix8,
+       upper(array_to_string(list_transform(
+         list_filter(string_split_regex(fingerprint, '\s+'), t -> t <> ''),
+         t -> substring(t, 1, 1)), '')) AS acronym,
+       CAST(len(list_filter(string_split_regex(tn, '\s+'), t -> t <> '')) AS INT)
+         AS n_tokens
+FROM f
+"""
+
+
+def q_docs_lang_id(spark, sf_dir):
+    """Stopword-heuristic language ID (training-data text analysis)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+def _oracle_lang_id() -> str:
+    hit_cols = []
+    for lang, stops in LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{s}'" for s in stops)
+        hit_cols.append(
+            f"len(list_filter(w, t -> t IN ({inlist}))) AS h_{lang}"
+        )
+    langs = list(LANG_STOPWORDS)
+    mx = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    for l in langs:  # first language reaching the max wins (epsilon order)
+        case += f"WHEN h_{l} = {mx} THEN '{l}' "
+    case += "END"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9'']+'),
+                     t -> t <> '') AS w
+  FROM documents
+), h AS (
+  SELECT doc_id, {', '.join(hit_cols)} FROM w
+)
+SELECT doc_id, {case} AS lang_pred FROM h
+"""
+
+
+def q_docs_quality(spark, sf_dir):
+    """Composite quality score + BPE-ish token count."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        quality_score_col(F.col("text")).alias("quality"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+ORACLE_DOCS_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), m AS (
+  SELECT doc_id, t,
+         CAST(len(t) AS DOUBLE) AS n_chars,
+         list_filter(string_split_regex(lower(t), '[^a-z0-9'']+'), x -> x <> '') AS w,
+         CAST(len(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha
+  FROM base
+), r AS (
+  SELECT doc_id, t, n_chars, alpha,
+         CAST(len(w) AS DOUBLE) AS n_words,
+         CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in','is','that','it','for','with'))) AS DOUBLE) AS stop_hits
+  FROM m
+)
+SELECT doc_id,
+       round((
+         (CASE WHEN n_words > 0 AND alpha / n_words >= 3 AND alpha / n_words <= 10
+               THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END)
+         + least((CASE WHEN n_words > 0 THEN stop_hits / n_words ELSE 0.0 END) * 5, 1.0)
+       ) / 3.0, 6) AS quality,
+       CAST(len(list_filter(string_split_regex(t, '\s+'), x -> x <> ''))
+            + len(regexp_extract_all(t, '[a-zA-Z][0-9]|[0-9][a-zA-Z]')) AS INT)
+         AS n_bpe_ish
+FROM r
+"""
+
+
+def q_docs_stats_by_source(spark, sf_dir):
+    """Per-source descriptive aggregates (A9, exact parts only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+ORACLE_DOCS_STATS = """
+SELECT source, COUNT(*) AS n_docs,
+       round(CAST(AVG(n_chars) AS DOUBLE), 4) AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+"""
+
+
+# =============================================================================
+# Deduplication battery over documents
+# =============================================================================
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact-dedup hash groups (all groups, incl. singletons)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(content_hash_col(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(coalesce(text, '')) AS content_hash,
+       COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+FROM documents
+GROUP BY md5(coalesce(text, ''))
+"""
+
+
+_SHINGLE_SQL = r"""
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+"""
+
+_SHINGLE3 = """
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+                list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS sh
+  FROM t
+"""
+
+
+def q_dedup_minhash_sigs(spark, sf_dir):
+    """Per-band MinHash signatures (md5-based, engine-portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", k=3, n_bands=4)
+
+
+def _oracle_minhash_sigs(n_bands: int = 4) -> str:
+    bands = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{b}:' || s))) AS mh_{b}"
+        for b in range(n_bands)
+    )
+    return f"WITH t AS ({_SHINGLE_SQL}), s AS ({_SHINGLE3}) SELECT doc_id, {bands} FROM s"
+
+
+def q_dedup_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs: ids sharing ≥1 MinHash band bucket."""
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_bands=4)
+
+
+def _oracle_lsh_pairs(n_bands: int = 4) -> str:
+    bands = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{b}:' || s))) AS mh_{b}"
+        for b in range(n_bands)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}:' || mh_{b} AS bucket FROM sigs" for b in range(n_bands)
+    )
+    return f"""
+WITH t AS ({_SHINGLE_SQL}), s AS ({_SHINGLE3}),
+sigs AS (SELECT doc_id, {bands} FROM s),
+buckets AS ({unions})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard for every LSH candidate pair."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_bands=4)
+    return ngram_jaccard_pairs(docs, pairs, "doc_id", "text", k=3)
+
+
+def _oracle_ngram_jaccard(n_bands: int = 4) -> str:
+    pair_sql = _oracle_lsh_pairs(n_bands)
+    return f"""
+WITH pairs AS ({pair_sql}),
+t AS ({_SHINGLE_SQL}), s AS ({_SHINGLE3})
+SELECT p.id_a, p.id_b,
+       round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+             THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sh, sb.sh)))
+             ELSE 0.0 END, 6) AS jaccard
+FROM pairs p
+JOIN s sa ON p.id_a = sa.doc_id
+JOIN s sb ON p.id_b = sb.doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """Native 32-bit SimHash signature per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_table(docs, "doc_id", "text", bits=32)
+
+
+def _oracle_simhash(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(ints, h -> 2 * ((h >> {i}) & 1) - 1)) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '')) AS toks
+  FROM documents
+), i AS (
+  SELECT doc_id,
+         list_transform(toks, s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS ints
+  FROM t
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM i
+"""
+
+
+# =============================================================================
+# Embeddings: ANN top-k, centroids, near-dup
+# =============================================================================
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 20 vectors (broadcast queries)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+ORACLE_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), s AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(CASE WHEN sqrt(list_sum(list_transform(q.qv, x -> x * x))) > 0
+                     AND sqrt(list_sum(list_transform(c.cv, x -> x * x))) > 0
+               THEN list_dot_product(q.qv, c.cv)
+                    / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                       * sqrt(list_sum(list_transform(c.cv, x -> x * x))))
+               ELSE 0.0 END, 6) AS cosine
+  FROM q CROSS JOIN c
+  WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Element-wise centroid per label via posexplode + group-avg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 4).alias("centroid_val"))
+    )
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+SELECT label, CAST(i - 1 AS INT) AS pos,
+       round(CAST(AVG(CAST(embedding[i] AS DOUBLE)) AS DOUBLE), 4) AS centroid_val
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY label, i
+"""
+
+
+# =============================================================================
+# Connected components (iterative large-star/small-star) vs recursive-CTE oracle
+# =============================================================================
+
+
+def _chain_edges(spark, sf_dir):
+    """Deterministic edge set: rank docs within source; link rank-adjacent
+    docs inside windows of 5 → components are chains of ≤5 (multi-hop, so the
+    oracle genuinely requires transitivity)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    r = docs.select("doc_id", "source", (F.row_number().over(w) - 1).alias("r"))
+    a = r.select("source", "r", F.col("doc_id").alias("src"))
+    b = r.select("source", (F.col("r") - 1).alias("r"), F.col("doc_id").alias("dst"))
+    # edge links rank r (src) to rank r+1 (dst); kept only when both fall in
+    # the same window of 5 (floor(r/5) == floor((r+1)/5)) → chains of ≤5
+    return (
+        a.join(b, ["source", "r"])
+        .where(F.pmod(F.col("r") + 1, F.lit(5)) != 0)
+        .select(F.col("src").cast("string").alias("src"),
+                F.col("dst").cast("string").alias("dst"))
+    )
+
+
+def q_connected_components(spark, sf_dir):
+    """Large-star/small-star CC over the deterministic chain edges (G3)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = _chain_edges(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("string").alias("url"))
+    out = assign_clusters(nodes, edges)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("component_id"),
+    )
+
+
+# NOTE: node ids are compared as *strings* inside the CC operator (url
+# semantics); the oracle mirrors that by casting before min().
+ORACLE_CONNECTED_COMPONENTS = """
+WITH RECURSIVE ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS r
+  FROM documents
+), e0 AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM ranked a JOIN ranked b ON a.source = b.source AND b.r = a.r - 1
+  WHERE a.r % 5 <> 0
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src
+  WHERE r.a <> e2.dst
+), comp AS (
+  SELECT a AS doc_id,
+         MIN(least(CAST(a AS VARCHAR), CAST(b AS VARCHAR))) AS comp_str
+  FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.comp_str, CAST(d.doc_id AS VARCHAR)) AS BIGINT) AS component_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+# =============================================================================
+# Multimodal plumbing (binary columns + typed metadata; decode is stubbed)
+# =============================================================================
+
+
+def q_media_stats(spark, sf_dir):
+    """Typed-metadata aggregates over binary media columns (native)."""
+    docs = _t(spark, sf_dir, "documents")
+    return media_stats(media_table(docs)).select(
+        "kind", "n_items", "total_bytes", "max_bytes", "distinct_payloads")
+
+
+ORACLE_MEDIA_STATS = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         encode(coalesce(text, '')) AS payload
+  FROM documents
+)
+SELECT kind, COUNT(*) AS n_items,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+       CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes,
+       COUNT(DISTINCT payload) AS distinct_payloads
+FROM m GROUP BY kind
+"""
+
+
+def q_media_decode(spark, sf_dir):
+    """mapInPandas decode plumbing with the deterministic fake codec —
+    returns per-item byte-histogram features (rows-only check: the decode
+    stub is not SQL-expressible, and a real codec would replace it)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = decode_media(media_table(docs), fake=True, dim=8)
+    return feats.select("media_id", "kind", "n_bytes",
+                        F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+# =============================================================================
+# Registry
+# =============================================================================
+
+QUERIES = {
+    # relational battery
+    "tpch_q1": q_tpch_q1,
+    "revenue_by_region": q_revenue_by_region,
+    "top3_orders_per_customer": q_top3_orders_per_customer,
+    "customer_order_profile": q_customer_order_profile,
+    "customers_without_orders": q_customers_without_orders,
+    "parts_multi_supplier": q_parts_multi_supplier,
+    "rollup_orders": q_rollup_orders,
+    "running_revenue": q_running_revenue,
+    "order_year_quarter": q_order_year_quarter,
+    "priority_except": q_priority_except,
+    # events
+    "events_ffill": q_events_ffill,
+    "events_sessionize": q_events_sessionize,
+    "events_json": q_events_json,
+    "events_type_stats": q_events_type_stats,
+    # text analysis
+    "docs_normalize": q_docs_normalize,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_lang_id": q_docs_lang_id,
+    "docs_quality": q_docs_quality,
+    "docs_stats_by_source": q_docs_stats_by_source,
+    # dedup
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sigs": q_dedup_minhash_sigs,
+    "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    # embeddings
+    "ann_topk": q_ann_topk,
+    "embedding_centroids": q_embedding_centroids,
+    # graph
+    "connected_components": q_connected_components,
+    # multimodal
+    "media_stats": q_media_stats,
+    "media_decode": q_media_decode,
+}
+
+ORACLE_SQL = {
+    "tpch_q1": ORACLE_TPCH_Q1,
+    "revenue_by_region": ORACLE_REVENUE_BY_REGION,
+    "top3_orders_per_customer": ORACLE_TOP3_ORDERS,
+    "customer_order_profile": ORACLE_CUSTOMER_ORDER_PROFILE,
+    "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "parts_multi_supplier": ORACLE_PARTS_MULTI_SUPPLIER,
+    "rollup_orders": ORACLE_ROLLUP_ORDERS,
+    "running_revenue": ORACLE_RUNNING_REVENUE,
+    "order_year_quarter": ORACLE_ORDER_YEAR_QUARTER,
+    "priority_except": ORACLE_PRIORITY_EXCEPT,
+    "events_ffill": ORACLE_EVENTS_FFILL,
+    "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "events_json": ORACLE_EVENTS_JSON,
+    "events_type_stats": ORACLE_EVENTS_TYPE_STATS,
+    "docs_normalize": ORACLE_DOCS_NORMALIZE,
+    "docs_fingerprint": ORACLE_DOCS_FINGERPRINT,
+    "docs_lang_id": _oracle_lang_id(),
+    "docs_quality": ORACLE_DOCS_QUALITY,
+    "docs_stats_by_source": ORACLE_DOCS_STATS,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_sigs": _oracle_minhash_sigs(4),
+    "dedup_lsh_pairs": _oracle_lsh_pairs(4),
+    "dedup_ngram_jaccard": _oracle_ngram_jaccard(4),
+    "dedup_simhash": _oracle_simhash(32),
+    "ann_topk": ORACLE_ANN_TOPK,
+    "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
+    "connected_components": ORACLE_CONNECTED_COMPONENTS,
+    "media_stats": ORACLE_MEDIA_STATS,
+    # media_decode: rows-only (mapInPandas stub, not SQL-expressible)
+}
