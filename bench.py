@@ -47,7 +47,8 @@ def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
     times: dict[str, float] = {}
     try:
         pages = pages_from_documents(spark, sf_dir, variants=variants).drop("true_cluster")
-        cfg = PipelineConfig(n_bands=8, top_n=100, repartition_blocks=None)
+        cfg = PipelineConfig(n_bands=8, top_n=100, repartition_blocks=None,
+                             two_phase_scoring=True)
 
         t0 = time.perf_counter()
         extracted = stage_extract(pages)
@@ -70,7 +71,7 @@ def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
         times["pairs"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        scored = stage_scored(pairs, extracted)
+        scored = stage_scored(pairs, extracted, cfg)
         scored.write.mode("overwrite").parquet(f"{tmp}/scored")
         scored = spark.read.parquet(f"{tmp}/scored")
         times["score"] = time.perf_counter() - t0

@@ -1,0 +1,67 @@
+"""Geo parsing — location strings and country standardization (P14/P15).
+
+Reference semantics: split "City, Region, Country[, Continent]" with a
+backward scan, map country names to ISO-2, normalize city names
+(/root/reference/src/geo.py:80-162, vectorized :278-323, maps :20-73).
+Here the whole chain is native Column expressions; the country-name map is a
+literal `create_map` (a broadcast dim table at production scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# name → ISO-2 (subset in the spirit of /root/reference/src/geo.py:20-56)
+COUNTRY_TO_ISO = {
+    "united states": "US", "usa": "US", "united kingdom": "GB", "uk": "GB",
+    "germany": "DE", "france": "FR", "italy": "IT", "spain": "ES",
+    "netherlands": "NL", "belgium": "BE", "switzerland": "CH", "austria": "AT",
+    "sweden": "SE", "norway": "NO", "denmark": "DK", "finland": "FI",
+    "ireland": "IE", "portugal": "PT", "poland": "PL", "romania": "RO",
+    "brazil": "BR", "canada": "CA", "china": "CN", "india": "IN",
+    "japan": "JP", "russia": "RU", "argentina": "AR", "australia": "AU",
+    "egypt": "EG", "ethiopia": "ET", "kenya": "KE", "morocco": "MA",
+    "mozambique": "MZ", "peru": "PE", "vietnam": "VN", "indonesia": "ID",
+    "iran": "IR", "iraq": "IQ", "jordan": "JO", "saudi arabia": "SA",
+    "algeria": "DZ", "united arab emirates": "AE",
+}
+
+
+def _iso_map() -> Column:
+    return F.create_map(*[
+        x for k, v in COUNTRY_TO_ISO.items() for x in (F.lit(k), F.lit(v))
+    ])
+
+
+def parse_location_col(loc: Column) -> Column:
+    """"City, Region, Country" → struct(city, region, country_iso).
+
+    Positional split like the reference's vectorized path
+    (src/geo.py:278-323): part 1 = city, part 2 = region (when ≥3 parts),
+    last part = country. Country resolves via ISO map, else a valid 2-letter
+    code passes through uppercased, else null.
+    """
+    parts = F.transform(F.split(F.coalesce(loc, F.lit("")), ","), lambda p: F.trim(p))
+    parts = F.filter(parts, lambda p: p != "")
+    n = F.size(parts)
+    city = F.when(n >= 1, F.element_at(parts, 1))
+    region = F.when(n >= 3, F.element_at(parts, 2))
+    raw_country = F.when(n >= 2, F.lower(F.element_at(parts, -1)))
+    iso = _iso_map()[raw_country]
+    country = F.coalesce(
+        iso,
+        F.when(raw_country.rlike("^[a-z]{2}$"), F.upper(raw_country)),
+    )
+    return F.struct(
+        city.alias("city"), region.alias("region"), country.alias("country_iso"),
+    )
+
+
+def standardize_country_col(c: Column) -> Column:
+    """2-letter validate / name lookup (P15; src/geo.py:231-257)."""
+    low = F.lower(F.trim(F.coalesce(c, F.lit(""))))
+    return F.coalesce(
+        _iso_map()[low],
+        F.when(low.rlike("^[a-z]{2}$"), F.upper(low)),
+    )

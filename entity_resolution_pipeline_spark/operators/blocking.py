@@ -92,7 +92,12 @@ def salted_blocking_table(
     """
     eff_stop = stop_threshold
     if n_docs is not None:
-        eff_stop = min(stop_threshold, max(int(n_docs * stop_frac), hot_threshold))
+        # floor at 4×hot so tiny corpora never stop-drop their (still
+        # meaningful) hot blocks; at scale the corpus fraction dominates —
+        # a key covering stop_frac of 10^12 docs carries no signal and
+        # would contribute O((n·frac)²) pairs
+        eff_stop = min(stop_threshold,
+                       max(int(n_docs * stop_frac), 4 * hot_threshold))
     stats = key_stats(blocks)
     b = blocks.join(F.broadcast(stats.where(F.col("block_size") >= hot_threshold)),
                     "block_key", "left")

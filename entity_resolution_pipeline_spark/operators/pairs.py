@@ -38,15 +38,24 @@ def candidate_pairs(salted_blocks: DataFrame, top_n: int | None = 300) -> DataFr
     pairs = (
         a.join(b, "join_key")
         .where(F.col("url_a") < F.col("url_b"))
-        .select("url_a", "url_b", "block_key", "source")
-        .distinct()  # collapse salt-pair replicas of the same shared key
+        # ONE shuffle for dedup + scoring: collect_set collapses salt-pair
+        # replicas of the same shared key inside the group-aggregate (with
+        # map-side partial aggregation), instead of a separate distinct()
         .groupBy("url_a", "url_b")
-        .agg(
+        .agg(F.collect_set(F.struct("block_key", "source")).alias("keys"))
+        .select(
+            "url_a", "url_b",
             # each shared key scores once: a pair sharing many MinHash bands
             # (strong similarity evidence) must outrank pairs co-occurring
             # only under one weak mega-key, or top-N starves true duplicates
-            F.sum(score_map[F.col("source")]).alias("blocking_score"),
-            F.array_join(F.array_sort(F.collect_set("source")), "|").alias("sources"),
+            F.aggregate(
+                F.transform(F.col("keys"), lambda k: score_map[k.getField("source")]),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("blocking_score"),
+            F.array_join(
+                F.array_sort(F.array_distinct(
+                    F.transform(F.col("keys"), lambda k: k.getField("source")))), "|",
+            ).alias("sources"),
         )
     )
     if top_n is not None:

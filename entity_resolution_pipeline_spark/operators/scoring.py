@@ -73,6 +73,66 @@ def compute_features(pairs: DataFrame, attrs: DataFrame) -> DataFrame:
     )
 
 
+def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
+                          threshold: float = 0.45) -> DataFrame:
+    """Two-phase scoring: native prescore for all pairs, Jaro-Winkler pUDF
+    only for the borderline band (the reference reranks only borderline
+    pairs the same way, /root/reference/src/reranking.py:42-117 mask :73).
+
+    Decision-equivalent to full scoring at ``threshold``: the JW term is
+    bounded in [0, JW_WEIGHT], so any pair whose prescore clears (or cannot
+    reach) the threshold keeps its decision regardless of JW; only pairs
+    inside the band are refined. At web scale this keeps ~90+% of pairs
+    entirely JVM-side.
+    """
+    a = attrs.select(
+        F.col("url").alias("_ua"),
+        *[F.col(c).alias(f"{c}_a") for c in attrs.columns if c != "url"],
+    )
+    b = attrs.select(
+        F.col("url").alias("_ub"),
+        *[F.col(c).alias(f"{c}_b") for c in attrs.columns if c != "url"],
+    )
+    df = (
+        pairs.join(a, F.col("url_a") == F.col("_ua"), "left").drop("_ua")
+        .join(b, F.col("url_b") == F.col("_ub"), "left").drop("_ub")
+    )
+    sz_a = F.size("toks_a").cast("double")
+    sz_b = F.size("toks_b").cast("double")
+    feat = df.select(
+        "url_a", "url_b", "blocking_score", "fp_head_a", "fp_head_b",
+        token_jaccard_col(F.col("toks_a"), F.col("toks_b")).alias("token_jaccard"),
+        levenshtein_ratio_col(F.col("p16_a"), F.col("p16_b")).alias("lev_ratio_prefix"),
+        (F.col("dom_a") == F.col("dom_b")).cast("double").alias("domain_exact"),
+        (F.col("p16_a") == F.col("p16_b")).cast("double").alias("prefix_match"),
+        F.when(F.greatest(sz_a, sz_b) > 0,
+               F.least(sz_a, sz_b) / F.greatest(sz_a, sz_b)
+               ).otherwise(F.lit(0.0)).alias("size_ratio"),
+    )
+    base = (
+        0.55 * F.col("token_jaccard")
+        + 0.10 * F.col("lev_ratio_prefix")
+        + 0.10 * F.col("prefix_match")
+        + 0.05 * F.col("domain_exact")
+    )
+    feat = feat.withColumn("p_base", base)
+    lo, hi = threshold - JW_WEIGHT, threshold
+    cold = feat.where(~F.col("p_base").between(lo, hi)).withColumn(
+        "p_match", F.round(F.col("p_base"), 6))
+    warm = feat.where(F.col("p_base").between(lo, hi)).withColumn(
+        "p_match",
+        F.round(F.col("p_base")
+                + JW_WEIGHT * jaro_winkler_udf(F.col("fp_head_a"), F.col("fp_head_b")), 6),
+    )
+    keep = ["url_a", "url_b", "blocking_score", "token_jaccard",
+            "lev_ratio_prefix", "domain_exact", "prefix_match", "size_ratio",
+            "p_match"]
+    return cold.select(*keep).unionByName(warm.select(*keep))
+
+
+JW_WEIGHT = 0.20
+
+
 def heuristic_score(features: DataFrame) -> DataFrame:
     """Deterministic calibrated blend in [0,1] — model-free scorer.
 

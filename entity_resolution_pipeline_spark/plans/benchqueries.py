@@ -605,10 +605,15 @@ def _oracle_minhash_sigs(n_bands: int = 4) -> str:
     return f"WITH t AS ({_SHINGLE_SQL}), s AS ({_SHINGLE3}) SELECT doc_id, {bands} FROM s"
 
 
+LSH_STOP = 200  # degenerate-bucket guard: >200 members at sf-scale = no signal
+
+
 def q_dedup_lsh_pairs(spark, sf_dir):
-    """LSH candidate pairs: ids sharing ≥1 MinHash band bucket."""
+    """LSH candidate pairs: ids sharing ≥1 MinHash band bucket (stop-key
+    guarded — degenerate buckets are dropped, the skew story of blocking)."""
     docs = _t(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_bands=4)
+    return lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_bands=4,
+                               stop_threshold=LSH_STOP)
 
 
 def _oracle_lsh_pairs(n_bands: int = 4) -> str:
@@ -622,7 +627,9 @@ def _oracle_lsh_pairs(n_bands: int = 4) -> str:
     return f"""
 WITH t AS ({_SHINGLE_SQL}), s AS ({_SHINGLE3}),
 sigs AS (SELECT doc_id, {bands} FROM s),
-buckets AS ({unions})
+buckets0 AS ({unions}),
+keep AS (SELECT bucket FROM buckets0 GROUP BY bucket HAVING COUNT(*) <= {LSH_STOP}),
+buckets AS (SELECT b.* FROM buckets0 b JOIN keep k ON b.bucket = k.bucket)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
@@ -631,7 +638,8 @@ FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard for every LSH candidate pair."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_bands=4)
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_bands=4,
+                                stop_threshold=LSH_STOP)
     return ngram_jaccard_pairs(docs, pairs, "doc_id", "text", k=3)
 
 
@@ -842,6 +850,396 @@ def q_media_decode(spark, sf_dir):
 
 
 # =============================================================================
+# Geo / dates / alias / weak supervision / Wilson / decisioning widening
+# =============================================================================
+
+
+def q_geo_parse(spark, sf_dir):
+    """Location parsing + country ISO standardization (P14/P15) over
+    deterministic location strings derived from customer⋈nation."""
+    from ..functions.geo import parse_location_col
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    loc = F.concat(
+        F.lit("City"), F.pmod(F.col("c_custkey"), F.lit(50)).cast("string"),
+        F.lit(", Region"), F.col("c_nationkey").cast("string"),
+        F.lit(", "), F.col("n_name"),
+    )
+    parsed = parse_location_col(loc)
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            parsed.getField("city").alias("city"),
+            parsed.getField("region").alias("region"),
+            parsed.getField("country_iso").alias("country_iso"),
+        )
+    )
+
+
+def _oracle_geo_parse() -> str:
+    from ..functions.geo import COUNTRY_TO_ISO
+
+    case = "CASE lower(trim(n.n_name)) " + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in COUNTRY_TO_ISO.items()
+    ) + " ELSE NULL END"
+    return f"""
+SELECT c.c_custkey AS custkey,
+       'City' || CAST(c.c_custkey % 50 AS VARCHAR) AS city,
+       'Region' || CAST(c.c_nationkey AS VARCHAR) AS region,
+       coalesce({case},
+                CASE WHEN regexp_matches(lower(trim(n.n_name)), '^[a-z]{{2}}$')
+                     THEN upper(trim(n.n_name)) END) AS country_iso
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def q_flexible_dates(spark, sf_dir):
+    """Flexible date parsing round-trip (P16): orders dates re-serialized as
+    ISO / 'Qn yyyy' / bare year / Excel-serial strings, then re-parsed."""
+    from ..functions.dates import parse_flexible_date_col
+
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    m = F.pmod(F.col("o_orderkey"), F.lit(4))
+    raw = (
+        F.when(m == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(m == 1, F.concat(F.lit("Q"), F.quarter(d).cast("string"),
+                               F.lit(" "), F.year(d).cast("string")))
+        .when(m == 2, F.year(d).cast("string"))
+        .otherwise(F.datediff(d.cast("date"), F.to_date(F.lit("1899-12-30")))
+                   .cast("string"))
+    )
+    parsed = parse_flexible_date_col(raw)
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        raw.alias("raw_date"),
+        F.date_format(parsed, "yyyy-MM-dd").alias("parsed_date"),
+        F.year(parsed).alias("parsed_year"),
+    )
+
+
+ORACLE_FLEXIBLE_DATES = r"""
+WITH raw AS (
+  SELECT o_orderkey AS orderkey,
+         CASE CAST(o_orderkey % 4 AS INT)
+           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+           WHEN 1 THEN 'Q' || CAST(quarter(o_orderdate) AS VARCHAR)
+                    || ' ' || CAST(year(o_orderdate) AS VARCHAR)
+           WHEN 2 THEN CAST(year(o_orderdate) AS VARCHAR)
+           ELSE CAST(date_diff('day', DATE '1899-12-30',
+                               CAST(o_orderdate AS DATE)) AS VARCHAR)
+         END AS raw_date
+  FROM orders
+), parsed AS (
+  SELECT orderkey, raw_date,
+    coalesce(
+      CASE WHEN regexp_matches(raw_date, '^(19|20)\d{2}$')
+           THEN CAST(raw_date || '-01-01' AS DATE) END,
+      CASE WHEN regexp_matches(raw_date, '^[Qq][1-4]\s+(19|20)\d{2}$')
+           THEN CAST(regexp_extract(raw_date, '((19|20)\d{2})', 1) || '-' ||
+                     lpad(CAST((CAST(regexp_extract(raw_date, '^[Qq]([1-4])', 1) AS INT) - 1) * 3 + 1
+                          AS VARCHAR), 2, '0') || '-01' AS DATE) END,
+      CASE WHEN regexp_matches(raw_date, '^\d{1,6}$')
+           THEN DATE '1899-12-30' + CAST(raw_date AS INT) END,
+      try_cast(raw_date AS DATE)
+    ) AS p
+  FROM raw
+)
+SELECT orderkey, raw_date, strftime(p, '%Y-%m-%d') AS parsed_date,
+       CAST(year(p) AS INT) AS parsed_year
+FROM parsed
+"""
+
+
+REBRAND_ALIASES = [
+    ("UNITED STATES", "USA"), ("UNITED KINGDOM", "UK"),
+    ("RUSSIA", "RUSSIAN FEDERATION"), ("VIETNAM", "VIET NAM"),
+]
+
+
+def q_alias_rebrand(spark, sf_dir):
+    """Rebrand alias expansion (P19/J7): broadcast-join a literal old↔new
+    dim table; canonical = new name when aliased, else original."""
+    nation = _t(spark, sf_dir, "nation")
+    alias_df = spark.createDataFrame(REBRAND_ALIASES, ["old_name", "new_name"])
+    return (
+        nation.join(F.broadcast(alias_df),
+                    nation.n_name == alias_df.old_name, "left")
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.coalesce("new_name", "n_name").alias("canonical_name"),
+        )
+    )
+
+
+def _oracle_alias_rebrand() -> str:
+    vals = ", ".join(f"('{o}', '{n}')" for o, n in REBRAND_ALIASES)
+    return f"""
+SELECT n.n_nationkey AS nationkey,
+       coalesce(a.new_name, n.n_name) AS canonical_name
+FROM nation n LEFT JOIN (VALUES {vals}) a(old_name, new_name)
+  ON n.n_name = a.old_name
+"""
+
+
+def q_weak_supervision(spark, sf_dir):
+    """Snorkel-style label model (M1): rule votes as columns + weighted and
+    majority aggregate labels — no per-row Python."""
+    from ..operators.labeling import LabelRule, apply_rules
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        LabelRule("high_value", F.col("o_totalprice") >= 250000.0, 1, 2.0),
+        LabelRule("urgent", F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1, 1.0),
+        LabelRule("low_value", F.col("o_totalprice") < 50000.0, -1, 1.0),
+        LabelRule("open_status", F.col("o_orderstatus") == "O", -1, 0.5),
+    ]
+    out = apply_rules(orders.select("o_orderkey", "o_totalprice",
+                                    "o_orderpriority", "o_orderstatus"), rules)
+    return out.select(
+        F.col("o_orderkey").alias("orderkey"),
+        "vote_high_value", "vote_urgent", "vote_low_value", "vote_open_status",
+        "weighted_score", "majority_label",
+    )
+
+
+ORACLE_WEAK_SUPERVISION = """
+WITH v AS (
+  SELECT o_orderkey AS orderkey,
+         CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END AS vote_high_value,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS vote_urgent,
+         CASE WHEN o_totalprice < 50000.0 THEN -1 ELSE 0 END AS vote_low_value,
+         CASE WHEN o_orderstatus = 'O' THEN -1 ELSE 0 END AS vote_open_status
+  FROM orders
+)
+SELECT orderkey, vote_high_value, vote_urgent, vote_low_value, vote_open_status,
+       round(CASE WHEN (CASE WHEN vote_high_value <> 0 THEN 2.0 ELSE 0 END
+                      + CASE WHEN vote_urgent <> 0 THEN 1.0 ELSE 0 END
+                      + CASE WHEN vote_low_value <> 0 THEN 1.0 ELSE 0 END
+                      + CASE WHEN vote_open_status <> 0 THEN 0.5 ELSE 0 END) > 0
+             THEN (vote_high_value * 2.0 + vote_urgent * 1.0
+                   + vote_low_value * 1.0 + vote_open_status * 0.5)
+                  / (CASE WHEN vote_high_value <> 0 THEN 2.0 ELSE 0 END
+                     + CASE WHEN vote_urgent <> 0 THEN 1.0 ELSE 0 END
+                     + CASE WHEN vote_low_value <> 0 THEN 1.0 ELSE 0 END
+                     + CASE WHEN vote_open_status <> 0 THEN 0.5 ELSE 0 END)
+             ELSE 0.0 END, 6) AS weighted_score,
+       CASE WHEN vote_high_value + vote_urgent + vote_low_value + vote_open_status > 0 THEN 1
+            WHEN vote_high_value + vote_urgent + vote_low_value + vote_open_status < 0 THEN 0
+            ELSE NULL END AS majority_label
+FROM v
+"""
+
+
+def q_wilson_tier_precision(spark, sf_dir):
+    """Per-tier precision with Wilson 95% CI (E1/E5) — proxy labels:
+    tier from totalprice, 'positive' = finished order."""
+    from ..operators.labeling import tier_precision_with_ci
+
+    orders = _t(spark, sf_dir, "orders")
+    tiers = orders.select(
+        F.when(F.col("o_totalprice") >= 300000, "A")
+         .when(F.col("o_totalprice") >= 150000, "B")
+         .when(F.col("o_totalprice") >= 50000, "C")
+         .otherwise("REJECT").alias("tier"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    return tier_precision_with_ci(tiers)
+
+
+ORACLE_WILSON_TIERS = """
+WITH t AS (
+  SELECT CASE WHEN o_totalprice >= 300000 THEN 'A'
+              WHEN o_totalprice >= 150000 THEN 'B'
+              WHEN o_totalprice >= 50000 THEN 'C'
+              ELSE 'REJECT' END AS tier,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+  FROM orders
+), a AS (
+  SELECT tier, COUNT(*) AS n, CAST(SUM(lab) AS BIGINT) AS n_pos FROM t GROUP BY tier
+), w AS (
+  SELECT tier, n, n_pos,
+         CAST(n_pos AS DOUBLE) / n AS p,
+         1.959963984540054 AS z,
+         CAST(n AS DOUBLE) AS nn
+  FROM a
+)
+SELECT tier, n, n_pos,
+       round(p, 6) AS precision,
+       round(greatest((p + z*z/(2*nn) - z * sqrt(p*(1-p)/nn + z*z/(4*nn*nn)))
+             / (1 + z*z/nn), 0.0), 6) AS wilson_lower,
+       round(least((p + z*z/(2*nn) + z * sqrt(p*(1-p)/nn + z*z/(4*nn*nn)))
+             / (1 + z*z/nn), 1.0), 6) AS wilson_upper
+FROM w
+"""
+
+
+def q_top1_with_alternatives(spark, sf_dir):
+    """Top-1 + ranked alternatives per group (W2,
+    /root/reference/src/decisioning.py:156-196): best order per customer,
+    alternatives = ranks 2-4 pipe-joined in rank order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = orders.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 4)
+    alt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("rn").between(2, 4),
+                       F.struct(F.col("rn"), F.col("o_orderkey").alias("k"))))),
+            lambda x: x.getField("k").cast("string"),
+        ), "|",
+    )
+    return ranked.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("o_orderkey"))).alias("best_orderkey"),
+        alt.alias("alternatives"),
+    )
+
+
+ORACLE_TOP1_ALTERNATIVES = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS best_orderkey,
+       coalesce(array_to_string(
+         list(CAST(o_orderkey AS VARCHAR) ORDER BY rn)
+           FILTER (rn BETWEEN 2 AND 4), '|'), '') AS alternatives
+FROM ranked
+WHERE rn <= 4
+GROUP BY o_custkey
+"""
+
+
+def q_url_domains(spark, sf_dir):
+    """eTLD+1 + free-email extraction (P10/P12) over deterministic URLs/emails
+    derived from doc_id (multi-part suffix cases included)."""
+    from ..functions.domains import (
+        email_domain_col, etld1_col, hostname_col, is_free_email_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    mm = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www.site"), mm, F.lit(".co.uk/p/1?q=2")))
+        .when(m == 1, F.concat(F.lit("http://sub.host"), mm, F.lit(".example.org:8080/x")))
+        .otherwise(F.concat(F.lit("https://cdn"), mm, F.lit(".io")))
+    )
+    email = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit("gmail.com"))
+         .otherwise(F.concat(F.lit("corp"), mm, F.lit(".com"))),
+    )
+    edom = email_domain_col(email)
+    return docs.select(
+        "doc_id",
+        hostname_col(url).alias("hostname"),
+        etld1_col(url).alias("etld1"),
+        edom.alias("email_domain"),
+        is_free_email_col(edom).alias("is_free_email"),
+    )
+
+
+ORACLE_URL_DOMAINS = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk/p/1?q=2'
+           WHEN 1 THEN 'http://sub.host' || CAST(doc_id % 7 AS VARCHAR) || '.example.org:8080/x'
+           ELSE 'https://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.io'
+         END AS url,
+         'user' || CAST(doc_id AS VARCHAR) || '@' ||
+           CASE WHEN doc_id % 2 = 0 THEN 'gmail.com'
+                ELSE 'corp' || CAST(doc_id % 7 AS VARCHAR) || '.com' END AS email
+  FROM documents
+), h AS (
+  SELECT doc_id, email,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+           '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''), '[/?#].*$', ''), ':\d+$', '')
+           AS hostname
+  FROM u
+), e AS (
+  SELECT doc_id, email, hostname,
+         string_split(hostname, '.') AS parts
+  FROM h
+)
+SELECT doc_id, hostname,
+       CASE WHEN len(parts) <= 2 THEN hostname
+            WHEN parts[-2] || '.' || parts[-1] IN
+                 ('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp',
+                  'com.au','net.au','org.au','com.br','com.cn','com.mx','co.in',
+                  'co.nz','co.za','com.sg','com.hk','com.tr')
+            THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+            ELSE parts[-2] || '.' || parts[-1] END AS etld1,
+       lower(regexp_extract(email, '@([^\s@]+)$', 1)) AS email_domain,
+       lower(regexp_extract(email, '@([^\s@]+)$', 1)) IN
+         ('gmail.com','yahoo.com','hotmail.com','outlook.com','aol.com',
+          'icloud.com','mail.com','gmx.com','protonmail.com','yandex.com')
+         AS is_free_email
+FROM e
+"""
+
+
+def q_family_aggregates(spark, sf_dir):
+    """Family-level aggregates (A6 analog,
+    /root/reference/src/orbis_graph.py:115-198): per nation ("family"),
+    member count, top-3 market segments by frequency (pipe-joined, count
+    desc / name asc), representative (min) customer name — all native
+    (contrast the reference's per-group Python loop)."""
+    cust = _t(spark, sf_dir, "customer")
+    seg_counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("cnt"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("cnt"), F.asc("c_mktsegment"))
+    top3 = (
+        seg_counts.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+        .groupBy("c_nationkey")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", F.col("c_mktsegment").alias("s")))),
+                lambda x: x.getField("s"),
+            ), "|").alias("top_segments"))
+    )
+    base = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_members"),
+        F.min("c_name").alias("representative"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+    return base.join(top3, "c_nationkey").select(
+        F.col("c_nationkey").alias("nationkey"),
+        "n_members", "representative", "n_segments", "top_segments",
+    )
+
+
+ORACLE_FAMILY_AGGREGATES = """
+WITH sc AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+             ORDER BY cnt DESC, c_mktsegment ASC) AS rk
+  FROM sc
+), t AS (
+  SELECT c_nationkey,
+         array_to_string(list(c_mktsegment ORDER BY rk) FILTER (rk <= 3), '|')
+           AS top_segments
+  FROM r GROUP BY c_nationkey
+)
+SELECT c.c_nationkey AS nationkey,
+       COUNT(*) AS n_members,
+       MIN(c.c_name) AS representative,
+       COUNT(DISTINCT c.c_mktsegment) AS n_segments,
+       MAX(t.top_segments) AS top_segments
+FROM customer c JOIN t ON c.c_nationkey = t.c_nationkey
+GROUP BY c.c_nationkey
+"""
+
+
+# =============================================================================
 # Registry
 # =============================================================================
 
@@ -882,6 +1280,15 @@ QUERIES = {
     # multimodal
     "media_stats": q_media_stats,
     "media_decode": q_media_decode,
+    # geo / dates / alias / labeling / decisioning widening
+    "geo_parse": q_geo_parse,
+    "flexible_dates": q_flexible_dates,
+    "alias_rebrand": q_alias_rebrand,
+    "weak_supervision": q_weak_supervision,
+    "wilson_tier_precision": q_wilson_tier_precision,
+    "top1_with_alternatives": q_top1_with_alternatives,
+    "url_domains": q_url_domains,
+    "family_aggregates": q_family_aggregates,
 }
 
 ORACLE_SQL = {
@@ -914,4 +1321,12 @@ ORACLE_SQL = {
     "connected_components": ORACLE_CONNECTED_COMPONENTS,
     "media_stats": ORACLE_MEDIA_STATS,
     # media_decode: rows-only (mapInPandas stub, not SQL-expressible)
+    "geo_parse": _oracle_geo_parse(),
+    "flexible_dates": ORACLE_FLEXIBLE_DATES,
+    "alias_rebrand": _oracle_alias_rebrand(),
+    "weak_supervision": ORACLE_WEAK_SUPERVISION,
+    "wilson_tier_precision": ORACLE_WILSON_TIERS,
+    "top1_with_alternatives": ORACLE_TOP1_ALTERNATIVES,
+    "url_domains": ORACLE_URL_DOMAINS,
+    "family_aggregates": ORACLE_FAMILY_AGGREGATES,
 }

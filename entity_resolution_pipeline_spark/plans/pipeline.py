@@ -24,6 +24,7 @@ from ..operators.clustering import assign_clusters
 from ..operators.pairs import candidate_pairs
 from ..operators.scoring import (
     compute_features, heuristic_score, match_edges, page_attrs,
+    score_pairs_two_phase,
 )
 from ..functions.normalize import extract_text_udf
 from ..sources.tableio import TableIO
@@ -38,7 +39,8 @@ class PipelineConfig:
     n_salts: int = 8
     top_n: int | None = 300
     threshold: float = 0.45
-    stop_frac: float = 0.1
+    stop_frac: float = 0.01  # stop-key ceiling as corpus fraction (skew guard)
+    two_phase_scoring: bool = False  # JW pUDF only on the borderline band
     repartition_blocks: int | None = None  # explicit repartition('join_key')
     extra: dict = field(default_factory=dict)
 
@@ -68,8 +70,11 @@ def stage_pairs(salted: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return candidate_pairs(salted, top_n=cfg.top_n)
 
 
-def stage_scored(pairs: DataFrame, extracted: DataFrame) -> DataFrame:
+def stage_scored(pairs: DataFrame, extracted: DataFrame,
+                 cfg: PipelineConfig | None = None) -> DataFrame:
     attrs = page_attrs(extracted.select("url", "text_norm"))
+    if cfg is not None and cfg.two_phase_scoring:
+        return score_pairs_two_phase(pairs, attrs, threshold=cfg.threshold)
     return heuristic_score(compute_features(pairs, attrs))
 
 
@@ -133,7 +138,7 @@ def run_pipeline(
     pairs = io.read("pairs")
 
     if not committed("scored"):
-        scored = stage_scored(pairs, extracted)
+        scored = stage_scored(pairs, extracted, cfg)
         io.write("scored", scored, meta={"stage": "scored"})
         io.append_audit([{
             "stage": "scored",

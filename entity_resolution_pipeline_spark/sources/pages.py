@@ -182,10 +182,19 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, variants: int = 4) ->
     assembly is concat(), so the corpus builder has zero Python.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # salt every token with a per-doc suffix: the raw documents table has a
+    # ~40-word vocabulary, which would make ALL documents near-duplicates of
+    # each other (pathological mega-blocks, nothing to resolve); suffixing
+    # gives realistic web-corpus diversity while keeping variants of the
+    # same doc true near-duplicates
+    salt = F.pmod(F.col("doc_id"), F.lit(997)).cast("string")
     df = docs.select(
         "doc_id", "lang",
         F.explode(F.sequence(F.lit(0), F.lit(variants - 1))).alias("v"),
-        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "").alias("toks"),
+        F.transform(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""),
+            lambda t: F.concat(t, salt),
+        ).alias("toks"),
     )
     n = F.size("toks")
     v = F.col("v")
@@ -205,7 +214,11 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, variants: int = 4) ->
         .otherwise(F.concat(diacritized, F.array(*[F.lit(b) for b in _BOILER[:3]])))
     )
     body = F.concat_ws(" ", body_toks)
-    dom = F.concat(F.lit("doc-"), F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+    # 250 domains → at variants=8 / sf0.1 each dom block ≈ 160 pages: inside
+    # the hot-salting band (hot_threshold < size < stop), so the bench
+    # exercises triangular salting; the hot portal below lands above the
+    # stop ceiling and exercises stop-key dropping
+    dom = F.concat(F.lit("doc-"), F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
                    F.lit(".example.com"))
     # planted hot domain: ~12% of rows per FIXTURES.md skew requirement
     dom = F.when(F.pmod(F.col("doc_id"), F.lit(8)) == 3, F.lit(HOT_DOMAIN)).otherwise(dom)

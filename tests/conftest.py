@@ -9,19 +9,19 @@ from entity_resolution_pipeline_spark.sources.pages import synth_pages, synth_pa
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(cores=8, shuffle_partitions=8, app_name="erps-tests")
+    s = get_spark(cores=16, shuffle_partitions=16, app_name="erps-tests")
     yield s
     s.stop()
 
 
 @pytest.fixture(scope="session")
 def fixtures_pd():
-    return synth_pages(n_clusters=150, seed=42)
+    return synth_pages(n_clusters=100, seed=42)
 
 
 @pytest.fixture(scope="session")
 def fixtures(spark):
-    return synth_pages_spark(spark, n_clusters=150, seed=42)
+    return synth_pages_spark(spark, n_clusters=100, seed=42)
 
 
 @pytest.fixture(scope="session")

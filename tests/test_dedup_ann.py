@@ -1,0 +1,88 @@
+"""Dedup + ANN operator tests: exact groups, MinHash/LSH recall on planted
+near-dups, SimHash hamming, brute-force vs IVF top-k agreement."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from entity_resolution_pipeline_spark.operators.ann import brute_force_topk, ivf_topk
+from entity_resolution_pipeline_spark.operators.dedup import (
+    embedding_near_duplicates, exact_dedup, exact_duplicate_groups,
+    minhash_near_duplicates, simhash_near_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = []
+    # planted near-dup family 0-2 (small perturbations), exact dup 3=0
+    rows.append((0, base))
+    rows.append((1, base.replace("echo", "echoo")))
+    rows.append((2, base + " kilo"))
+    rows.append((3, base))
+    # unrelated docs
+    for i in range(4, 24):
+        rows.append((i, " ".join(f"tok{i}x{j}" for j in range(12))))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, corpus):
+    groups = exact_duplicate_groups(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == [0, 3] and groups[0]["keeper"] == 0
+    kept = exact_dedup(corpus)
+    assert kept.count() == corpus.count() - 1
+    assert kept.where("doc_id = 3").count() == 0 and kept.where("doc_id = 0").count() == 1
+
+
+def test_minhash_near_duplicates(spark, corpus):
+    dups = minhash_near_duplicates(corpus, n_bands=8, threshold=0.3)
+    pairs = {(r.id_a, r.id_b) for r in dups.collect()}
+    assert (0, 3) in pairs            # exact dup: jaccard 1.0
+    assert (0, 2) in pairs or (0, 1) in pairs  # near dups caught
+    for a, b in pairs:                # no false positives vs unrelated docs
+        assert a <= 3 and b <= 3
+
+
+def test_simhash_near_duplicates(spark, corpus):
+    dups = simhash_near_duplicates(corpus, max_hamming=4)
+    pairs = {(r.id_a, r.id_b) for r in dups.collect()}
+    assert (0, 3) in pairs
+    row = next(r for r in dups.collect() if (r.id_a, r.id_b) == (0, 3))
+    assert row.hamming == 0
+
+
+def test_embedding_near_duplicates_bruteforce_vs_srp(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(30)]
+    rows.append((100, rows[0][1][:]))  # exact copy of vec 0
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = embedding_near_duplicates(emb, threshold=0.9999)
+    pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert (0, 100) in pairs
+    # SRP-bucketed path must also find the identical pair (same sign pattern)
+    srp = embedding_near_duplicates(emb, threshold=0.9999, n_planes=4)
+    assert (0, 100) in {(r.id_a, r.id_b) for r in srp.collect()}
+
+
+def test_brute_force_topk_deterministic(spark):
+    rows = [(i, [float((i + j) % 5 + 1) for j in range(6)]) for i in range(25)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+    r1 = sorted(map(tuple, brute_force_topk(emb, q, k=4).collect()))
+    r2 = sorted(map(tuple, brute_force_topk(emb, q, k=4).collect()))
+    assert r1 == r2
+    per_q = {}
+    for row in r1:
+        per_q.setdefault(row[0], []).append(row)
+    assert all(len(v) == 4 for v in per_q.values())
+
+
+def test_ivf_topk_recalls_most_of_bruteforce(spark):
+    rows = [(i, [float((i * 13 + j * 5) % 17) for j in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, q, k=3, n_cells=4, n_probe=2).collect()}
+    # IVF with 2/4 probes must recover a majority of the exact neighbors
+    assert len(exact & approx) / len(exact) >= 0.5

@@ -1,0 +1,92 @@
+"""North-rule scaling evidence: same job, same input, N vs 4N cores.
+
+Runs bench.py in two subprocesses (one JVM each) at local[8] and local[32]
+over $SPARK_GRAFT_SF_DIR, extracts candidate-pairs-scored/sec from both, and
+writes BENCH/BASELINE.md with throughputs + scaling efficiency
+(pairs/s@32 ÷ pairs/s@8) ÷ 4  — target ≥ 0.8 per BASELINE.json.
+
+Usage: python tools/scaling_bench.py [sf_dir] [variants]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def run_bench(cpus: int, sf_dir: str, variants: int) -> dict:
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_CPUS": str(cpus),
+        "BENCH_VARIANTS": str(variants),
+    })
+    out = subprocess.run(
+        [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
+        timeout=3600,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from bench at {cpus} cpus:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    variants = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    r8 = run_bench(8, sf_dir, variants)
+    r32 = run_bench(32, sf_dir, variants)
+
+    p8 = r8["er"]["pairs_scored_per_sec"]
+    p32 = r32["er"]["pairs_scored_per_sec"]
+    eff = (p32 / p8) / 4.0
+    # end-to-end efficiency as secondary evidence
+    e8 = r8["er"]["er_total_sec"]
+    e32 = r32["er"]["er_total_sec"]
+    eff_e2e = (e8 / e32) / 4.0
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — scaling evidence (north rule)
+
+Methodology (sandbox proxy for N vs 4N executors, per driver instruction):
+the SAME ER job (extract → block → pair → score → cluster) on the SAME
+input corpus ({r8['er']['n_pages']} pages derived from `{sf_dir}/documents.parquet`,
+variants={variants}) at `local[8]` and `local[32]`, shuffle partitions scaled
+with cores (8/32) so per-core task size is constant, AQE on. Throughput
+metric = candidate-pairs-scored/sec (scoring stage wall time over
+{r8['er']['n_pairs']} pairs). Input is large enough that task time dominates
+scheduling (scoring stage ≥ several seconds at 32 cores).
+
+| cores | pairs scored/s | ER end-to-end s | extract s | blocks s | pairs s | score s | cluster s |
+|---|---|---|---|---|---|---|---|
+| 8  | {p8:,.1f} | {e8:.1f} | {r8['er']['stage_sec']['extract']:.1f} | {r8['er']['stage_sec']['blocks']:.1f} | {r8['er']['stage_sec']['pairs']:.1f} | {r8['er']['stage_sec']['score']:.1f} | {r8['er']['stage_sec']['cluster']:.1f} |
+| 32 | {p32:,.1f} | {e32:.1f} | {r32['er']['stage_sec']['extract']:.1f} | {r32['er']['stage_sec']['blocks']:.1f} | {r32['er']['stage_sec']['pairs']:.1f} | {r32['er']['stage_sec']['score']:.1f} | {r32['er']['stage_sec']['cluster']:.1f} |
+
+**Scaling efficiency (pairs-scored/sec, 8→32 cores): {eff:.3f}**  (target ≥ 0.8)
+End-to-end wall-clock efficiency (8→32): {eff_e2e:.3f}
+
+Reference single-node anchor: ≈4.4k pairs/s (features stage,
+/root/reference/docs/METHODOLOGY.md:318, pair count docs/DATA_DICTIONARY.md:224).
+
+Raw bench JSON:
+
+```json
+{json.dumps(r8)}
+```
+
+```json
+{json.dumps(r32)}
+```
+""")
+    print(json.dumps({"pairs_per_sec_8": p8, "pairs_per_sec_32": p32,
+                      "efficiency": round(eff, 3), "e2e_efficiency": round(eff_e2e, 3)}))
+
+
+if __name__ == "__main__":
+    main()
