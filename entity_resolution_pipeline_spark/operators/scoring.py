@@ -34,10 +34,22 @@ FEATURE_COLS = [
 
 
 def page_attrs(pages: DataFrame, jw_cap: int = 48) -> DataFrame:
-    """Narrow per-page projection the scorer joins against (url, derived)."""
+    """Narrow per-page projection the scorer joins against (url, derived).
+
+    Tokens are carried as sorted 60-bit hashes, not strings: the pair join
+    shuffles these arrays for every candidate pair, so at web scale the
+    payload must be as small as possible, and array_intersect on longs beats
+    string compares. Jaccard over the hash sets equals Jaccard over the
+    token sets (md5 collisions at 60 bits are negligible and deterministic).
+    """
+    from ..functions.hashing import token_hash64_col
+
+    toks = tokens_col(F.col("text_norm"), 2)
+    hashed = F.array_sort(F.array_distinct(
+        F.transform(toks, lambda t: token_hash64_col(t))))
     return pages.select(
         "url",
-        tokens_col(F.col("text_norm"), 2).alias("toks"),
+        hashed.alias("toks"),
         fingerprint_col(F.col("text_norm"), 2).alias("fp"),
         etld1_col(F.col("url")).alias("dom"),
     ).withColumn("fp_head", F.substring("fp", 1, jw_cap)) \
