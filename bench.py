@@ -28,8 +28,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from entity_resolution_pipeline_spark.plans import benchqueries as bq  # noqa: E402
 from entity_resolution_pipeline_spark.plans.pipeline import (  # noqa: E402
-    PipelineConfig, stage_blocks, stage_clusters, stage_extract, stage_pairs,
-    stage_scored,
+    PipelineConfig, stage_attrs, stage_blocks, stage_clusters, stage_extract,
+    stage_pairs, stage_scored,
 )
 from entity_resolution_pipeline_spark.session import get_spark  # noqa: E402
 from entity_resolution_pipeline_spark.sources.pages import pages_from_documents  # noqa: E402
@@ -74,7 +74,12 @@ def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
         times["pairs"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        scored = stage_scored(pairs, extracted, cfg)
+        stage_attrs(extracted).write.mode("overwrite").parquet(f"{tmp}/attrs")
+        attrs = spark.read.parquet(f"{tmp}/attrs")
+        times["attrs"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        scored = stage_scored(pairs, attrs, cfg)
         scored.write.mode("overwrite").parquet(f"{tmp}/scored")
         scored = spark.read.parquet(f"{tmp}/scored")
         times["score"] = time.perf_counter() - t0

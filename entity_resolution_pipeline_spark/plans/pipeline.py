@@ -45,7 +45,7 @@ class PipelineConfig:
     extra: dict = field(default_factory=dict)
 
 
-STAGES = ["extract", "blocks", "pairs", "scored", "clusters"]
+STAGES = ["extract", "blocks", "pairs", "attrs", "scored", "clusters"]
 
 
 def stage_extract(pages: DataFrame) -> DataFrame:
@@ -70,9 +70,20 @@ def stage_pairs(salted: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return candidate_pairs(salted, top_n=cfg.top_n)
 
 
-def stage_scored(pairs: DataFrame, extracted: DataFrame,
+def stage_attrs(extracted: DataFrame) -> DataFrame:
+    """Per-page scorer attributes (token hashes, fingerprint, domain).
+
+    Materialized as its own stage table: the md5-based token hashing is
+    ~dim×tokens work per PAGE, and if left lazy Catalyst defers the
+    projection past the pair join, re-evaluating it per PAIR (observed 4×
+    scoring slowdown at sf0.1). Writing the 40k-row attrs table costs
+    nothing; the scorer's joins then shuffle small precomputed arrays.
+    """
+    return page_attrs(extracted.select("url", "text_norm"))
+
+
+def stage_scored(pairs: DataFrame, attrs: DataFrame,
                  cfg: PipelineConfig | None = None) -> DataFrame:
-    attrs = page_attrs(extracted.select("url", "text_norm"))
     if cfg is not None and cfg.two_phase_scoring:
         return score_pairs_two_phase(pairs, attrs, threshold=cfg.threshold)
     return heuristic_score(compute_features(pairs, attrs))
@@ -137,8 +148,13 @@ def run_pipeline(
         io.append_audit([{"stage": "pairs", "pair_count": io.read("pairs").count()}])
     pairs = io.read("pairs")
 
+    if not committed("attrs"):
+        io.write("attrs", stage_attrs(extracted), meta={"stage": "attrs"})
+        io.append_audit([{"stage": "attrs", "rows": io.read("attrs").count()}])
+    attrs = io.read("attrs")
+
     if not committed("scored"):
-        scored = stage_scored(pairs, extracted, cfg)
+        scored = stage_scored(pairs, attrs, cfg)
         io.write("scored", scored, meta={"stage": "scored"})
         io.append_audit([{
             "stage": "scored",

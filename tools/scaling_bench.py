@@ -50,6 +50,15 @@ def main() -> None:
     e32 = r32["er"]["er_total_sec"]
     eff_e2e = (e8 / e32) / 4.0
 
+    stages = list(r8["er"]["stage_sec"])
+    hdr = "| cores | pairs scored/s | ER end-to-end s | " + \
+        " | ".join(f"{s} s" for s in stages) + " |"
+    sep = "|---|---|---|" + "---|" * len(stages)
+    row8 = f"| 8  | {p8:,.1f} | {e8:.1f} | " + \
+        " | ".join(f"{r8['er']['stage_sec'][s]:.1f}" for s in stages) + " |"
+    row32 = f"| 32 | {p32:,.1f} | {e32:.1f} | " + \
+        " | ".join(f"{r32['er']['stage_sec'][s]:.1f}" for s in stages) + " |"
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — scaling evidence (north rule)
@@ -63,10 +72,10 @@ metric = candidate-pairs-scored/sec (scoring stage wall time over
 {r8['er']['n_pairs']} pairs). Input is large enough that task time dominates
 scheduling (scoring stage ≥ several seconds at 32 cores).
 
-| cores | pairs scored/s | ER end-to-end s | extract s | blocks s | pairs s | score s | cluster s |
-|---|---|---|---|---|---|---|---|
-| 8  | {p8:,.1f} | {e8:.1f} | {r8['er']['stage_sec']['extract']:.1f} | {r8['er']['stage_sec']['blocks']:.1f} | {r8['er']['stage_sec']['pairs']:.1f} | {r8['er']['stage_sec']['score']:.1f} | {r8['er']['stage_sec']['cluster']:.1f} |
-| 32 | {p32:,.1f} | {e32:.1f} | {r32['er']['stage_sec']['extract']:.1f} | {r32['er']['stage_sec']['blocks']:.1f} | {r32['er']['stage_sec']['pairs']:.1f} | {r32['er']['stage_sec']['score']:.1f} | {r32['er']['stage_sec']['cluster']:.1f} |
+{hdr}
+{sep}
+{row8}
+{row32}
 
 **Scaling efficiency (pairs-scored/sec, 8→32 cores): {eff:.3f}**  (target ≥ 0.8)
 End-to-end wall-clock efficiency (8→32): {eff_e2e:.3f}
