@@ -33,14 +33,21 @@ FEATURE_COLS = [
 ]
 
 
-def page_attrs(pages: DataFrame, jw_cap: int = 48) -> DataFrame:
+TOKEN_SKETCH_K = 64
+
+
+def page_attrs(pages: DataFrame, jw_cap: int = 48,
+               sketch_k: int = TOKEN_SKETCH_K) -> DataFrame:
     """Narrow per-page projection the scorer joins against (url, derived).
 
-    Tokens are carried as sorted 60-bit hashes, not strings: the pair join
-    shuffles these arrays for every candidate pair, so at web scale the
-    payload must be as small as possible, and array_intersect on longs beats
-    string compares. Jaccard over the hash sets equals Jaccard over the
-    token sets (md5 collisions at 60 bits are negligible and deterministic).
+    Tokens are carried as a bottom-k sketch of sorted 60-bit hashes: the
+    pair join shuffles these arrays for every candidate pair, and the
+    per-pair Jaccard cost is O(|array|), so at web scale the array must be
+    bounded. Keeping the k smallest hashes is the classic bottom-k MinHash
+    sketch — Jaccard over two sketches is *exact* for documents with ≤ k
+    distinct tokens (all test fixtures) and a consistent estimate above
+    that; 60-bit md5 collisions are negligible and deterministic. The exact
+    distinct-token count travels separately (``n_toks``) for size features.
     """
     from ..functions.hashing import token_hash64_col
 
@@ -49,7 +56,8 @@ def page_attrs(pages: DataFrame, jw_cap: int = 48) -> DataFrame:
         F.transform(toks, lambda t: token_hash64_col(t))))
     return pages.select(
         "url",
-        hashed.alias("toks"),
+        F.slice(hashed, 1, sketch_k).alias("toks"),
+        F.size(hashed).alias("n_toks"),
         fingerprint_col(F.col("text_norm"), 2).alias("fp"),
         etld1_col(F.col("url")).alias("dom"),
     ).withColumn("fp_head", F.substring("fp", 1, jw_cap)) \
@@ -69,8 +77,8 @@ def compute_features(pairs: DataFrame, attrs: DataFrame) -> DataFrame:
         pairs.join(a, F.col("url_a") == F.col("_ua"), "left").drop("_ua")
         .join(b, F.col("url_b") == F.col("_ub"), "left").drop("_ub")
     )
-    sz_a = F.size("toks_a").cast("double")
-    sz_b = F.size("toks_b").cast("double")
+    sz_a = F.col("n_toks_a").cast("double")
+    sz_b = F.col("n_toks_b").cast("double")
     return df.select(
         "url_a", "url_b",
         F.col("blocking_score"),
@@ -109,8 +117,8 @@ def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
         pairs.join(a, F.col("url_a") == F.col("_ua"), "left").drop("_ua")
         .join(b, F.col("url_b") == F.col("_ub"), "left").drop("_ub")
     )
-    sz_a = F.size("toks_a").cast("double")
-    sz_b = F.size("toks_b").cast("double")
+    sz_a = F.col("n_toks_a").cast("double")
+    sz_b = F.col("n_toks_b").cast("double")
     feat = df.select(
         "url_a", "url_b", "blocking_score", "fp_head_a", "fp_head_b",
         token_jaccard_col(F.col("toks_a"), F.col("toks_b")).alias("token_jaccard"),
