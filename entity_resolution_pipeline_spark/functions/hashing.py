@@ -49,6 +49,21 @@ def minhash_bands(items: Column, n_bands: int) -> list[Column]:
     return [minhash_band_col(items, b).alias(f"mh_{b}") for b in range(n_bands)]
 
 
+def minhash_band_fast_col(items: Column, band: int) -> Column:
+    """Pipeline-internal MinHash band via native ``xxhash64`` (seeded by the
+    band id folded into the hash input). ~20× cheaper than the md5 variant;
+    used where cross-engine (DuckDB-oracle) reproducibility is NOT required
+    — the ER pipeline's own blocking. Deterministic across runs/cluster
+    sizes (xxhash64 has a fixed spec)."""
+    hashed = F.transform(items, lambda s: F.xxhash64(F.lit(band), s))
+    return F.array_min(hashed)
+
+
+def salt_fast_col(id_col: Column, n_salts: int) -> Column:
+    """Deterministic salt bucket via xxhash64 (pipeline-internal)."""
+    return F.pmod(F.xxhash64(id_col), F.lit(n_salts)).cast("int")
+
+
 def simhash_col(items: Column, bits: int = 32) -> Column:
     """SimHash over an item array, native expressions only.
 

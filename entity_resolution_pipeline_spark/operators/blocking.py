@@ -21,37 +21,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.domains import hostname_col
-from ..functions.hashing import minhash_band_col, salt_col
+from ..functions.hashing import minhash_band_fast_col, salt_fast_col
 from ..functions.normalize import fingerprint_col, prefix_col, tokens_col
 
 # Per-source blocking scores (summed at pair aggregation, as in the
 # reference, src/blocking.py:380-385) — content-similarity keys (fp8, mh)
-# must outrank the domain prior: a mega-host block yields thousands of
-# dom-only co-occurrences that would otherwise tie with, and starve out,
-# true cross-domain duplicates under the top-N cap.
+# must outrank the domain-composite prior so that under the top-N cap true
+# duplicates outrank pages that merely share a host and a content prefix.
 SOURCE_SCORES = {"fp8": 3.0, "mh": 2.5, "dom": 1.0}
 
 
 def blocking_table(pages: DataFrame, n_bands: int = 12, prefix_k: int = 8,
-                   min_token_len: int = 2) -> DataFrame:
+                   min_token_len: int = 2, dom_prefix_k: int = 4) -> DataFrame:
     """pages(url, text_norm) → (block_key, source, url).
 
-    Three key families: normalized-domain eTLD+1, fingerprint-prefix, and
-    MinHash bands over the token set (reorder-invariant 1-shingles). One
-    narrow projection per family, unioned — no shuffle until pair-gen.
+    Three key families, one narrow projection each, unioned (no shuffle
+    until pair-gen):
+
+    * ``dom``: host **composite with the fingerprint prefix** — the
+      reference's country+name-prefix composite index
+      (/root/reference/src/blocking.py:349-360) transplanted: a bare host
+      key makes every big site a quadratic block of unrelated pages, while
+      host+content-prefix only co-blocks same-site pages that could
+      actually match. Full hostname, not eTLD+1 (an eTLD+1 block is a
+      hosting platform = useless mega-block).
+    * ``fp8``: global fingerprint prefix (finds cross-domain mirrors).
+    * ``mh``: MinHash bands over the token set (reorder-invariant;
+      xxhash64-seeded, deterministic).
     """
     toks = tokens_col(F.col("text_norm"), min_token_len)
-    # full hostname, not eTLD+1: at web scale an eTLD+1 block (a hosting
-    # platform) is a useless mega-block; the host is the discriminative key
+    fp_full = fingerprint_col(F.col("text_norm"), min_token_len)
     dom = pages.select(
-        F.concat(F.lit("dom:"), hostname_col(F.col("url"))).alias("block_key"),
+        F.concat(F.lit("dom:"), hostname_col(F.col("url")), F.lit(":"),
+                 prefix_col(fp_full, dom_prefix_k)).alias("block_key"),
         F.lit("dom").alias("source"),
         "url",
     )
     fp = pages.select(
-        F.concat(F.lit("fp8:"), prefix_col(fingerprint_col(F.col("text_norm"),
-                                                           min_token_len), prefix_k)
-                 ).alias("block_key"),
+        F.concat(F.lit("fp8:"), prefix_col(fp_full, prefix_k)).alias("block_key"),
         F.lit("fp8").alias("source"),
         "url",
     ).where(F.length("block_key") > 4)
@@ -59,7 +66,8 @@ def blocking_table(pages: DataFrame, n_bands: int = 12, prefix_k: int = 8,
     bands = mh.select(
         "url",
         F.explode(F.array(*[
-            F.concat(F.lit(f"mh:{b}:"), minhash_band_col(F.col("toks"), b))
+            F.concat(F.lit(f"mh:{b}:"),
+                     minhash_band_fast_col(F.col("toks"), b).cast("string"))
             for b in range(n_bands)
         ])).alias("block_key"),
     ).select("block_key", F.lit("mh").alias("source"), "url")
@@ -107,7 +115,7 @@ def salted_blocking_table(
         F.col("block_key").alias("join_key"), "block_key", "source", "url")
 
     hot = b.where(F.col("block_size").isNotNull()) \
-        .withColumn("g", salt_col(F.col("url"), n_salts))
+        .withColumn("g", salt_fast_col(F.col("url"), n_salts))
     hot = hot.select(
         "block_key", "source", "url", "g",
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("p"),

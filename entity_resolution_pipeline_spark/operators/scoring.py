@@ -49,11 +49,10 @@ def page_attrs(pages: DataFrame, jw_cap: int = 48,
     that; 60-bit md5 collisions are negligible and deterministic. The exact
     distinct-token count travels separately (``n_toks``) for size features.
     """
-    from ..functions.hashing import token_hash64_col
-
     toks = tokens_col(F.col("text_norm"), 2)
+    # xxhash64: native, fixed spec, ~20× cheaper than md5 — pipeline-internal
     hashed = F.array_sort(F.array_distinct(
-        F.transform(toks, lambda t: token_hash64_col(t))))
+        F.transform(toks, lambda t: F.xxhash64(t))))
     return pages.select(
         "url",
         F.slice(hashed, 1, sketch_k).alias("toks"),
@@ -136,6 +135,11 @@ def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
         + 0.05 * F.col("domain_exact")
     )
     feat = feat.withColumn("p_base", base)
+    # persist: both branches below scan `feat`; without it the whole
+    # join+feature plan executes twice (observed 2× scoring cost at sf0.1)
+    from pyspark import StorageLevel
+
+    feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
     lo, hi = threshold - JW_WEIGHT, threshold
     cold = feat.where(~F.col("p_base").between(lo, hi)).withColumn(
         "p_match", F.round(F.col("p_base"), 6))

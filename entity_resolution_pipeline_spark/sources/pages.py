@@ -79,10 +79,14 @@ def synth_pages(n_clusters: int = 400, seed: int = 42) -> dict[str, pd.DataFrame
     pages, members = [], []
     row_i = 0
     for eid in range(n_clusters):
-        csize = int(rng.choice([1, 1, 2, 2, 3, 3, 4, 5, 6]))
+        # cluster 0 is a mega-cluster (boilerplate duplicated ~40×): its
+        # content blocking keys (fp8/mh/dom-composite) exceed any hot
+        # threshold, exercising skew salting through the real blocking path
+        # (web-scale skew comes from massively-duplicated content)
+        csize = 40 if eid == 0 else int(rng.choice([1, 1, 2, 2, 3, 3, 4, 5, 6]))
         base_len = int(rng.randint(25, 60))
         base = [str(rng.choice(vocab)) for _ in range(base_len)]
-        hot = rng.rand() < 0.13
+        hot = eid == 0 or rng.rand() < 0.13
         base_dom = HOT_DOMAIN if hot else f"site-{int(rng.zipf(1.6)) % 97}.example.com"
         urls = []
         for m in range(csize):

@@ -49,19 +49,23 @@ def test_blocking_recall(spark, fixtures):
 
 
 def test_hot_keys_are_salted_and_stop_keys_dropped(spark, fixtures):
+    """The fixture's mega-cluster (40 near-identical pages) must make at
+    least one content blocking key hot; hot keys get triangular salting."""
     blocks = _blocks(spark, fixtures)
     n_docs = fixtures["pages"].count()
     salted = salted_blocking_table(blocks, hot_threshold=16, n_salts=4,
                                    n_docs=n_docs, stop_frac=0.5)
     stats = key_stats(blocks)
-    hot_dom = f"dom:{HOT_DOMAIN}"
-    hot_size = stats.where(F.col("block_key") == hot_dom).collect()[0]["block_size"]
-    assert hot_size >= 16, "fixture must plant a hot domain"
-    # hot key members now carry salt-pair join keys, not the bare key
-    hot_rows = salted.where(F.col("block_key") == hot_dom)
+    hot_keys = [r["block_key"] for r in
+                stats.where((F.col("block_size") >= 16)
+                            & (F.col("block_size") < n_docs * 0.5)).collect()]
+    assert hot_keys, "fixture must produce at least one hot block"
+    hot_rows = salted.where(F.col("block_key").isin(hot_keys))
+    # hot key members carry salt-pair join keys, not the bare key
     assert hot_rows.where(F.col("join_key") == F.col("block_key")).count() == 0
-    # triangular replication: each member appears n_salts times
-    per_member = hot_rows.groupBy("url").count().agg(F.min("count"), F.max("count")).collect()[0]
+    # triangular replication: each member appears n_salts times per key
+    per_member = hot_rows.groupBy("block_key", "url").count() \
+                         .agg(F.min("count"), F.max("count")).collect()[0]
     assert per_member[0] == 4 and per_member[1] == 4
     # stop keys (> stop_frac * corpus) gone entirely
     stop_keys = [r["block_key"] for r in
