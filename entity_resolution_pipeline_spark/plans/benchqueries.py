@@ -728,6 +728,36 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (all-pairs baseline path)."""
+    from ..operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.95, n_planes=0)
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CASE WHEN sqrt(list_sum(list_transform(a.e, x -> x * x))) > 0
+                   AND sqrt(list_sum(list_transform(b.e, x -> x * x))) > 0
+             THEN list_dot_product(a.e, b.e)
+                  / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                     * sqrt(list_sum(list_transform(b.e, x -> x * x))))
+             ELSE 0.0 END, 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(CASE WHEN sqrt(list_sum(list_transform(a.e, x -> x * x))) > 0
+                  AND sqrt(list_sum(list_transform(b.e, x -> x * x))) > 0
+            THEN list_dot_product(a.e, b.e)
+                 / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.e, x -> x * x))))
+            ELSE 0.0 END, 6) >= 0.95
+"""
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Element-wise centroid per label via posexplode + group-avg."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1274,6 +1304,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     # embeddings
     "ann_topk": q_ann_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "embedding_centroids": q_embedding_centroids,
     # graph
     "connected_components": q_connected_components,
@@ -1317,6 +1348,7 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(4),
     "dedup_simhash": _oracle_simhash(32),
     "ann_topk": ORACLE_ANN_TOPK,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "connected_components": ORACLE_CONNECTED_COMPONENTS,
     "media_stats": ORACLE_MEDIA_STATS,

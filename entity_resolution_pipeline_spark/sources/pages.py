@@ -191,7 +191,8 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, variants: int = 4) ->
     # each other (pathological mega-blocks, nothing to resolve); suffixing
     # gives realistic web-corpus diversity while keeping variants of the
     # same doc true near-duplicates
-    salt = F.pmod(F.col("doc_id"), F.lit(997)).cast("string")
+    salt = F.col("doc_id").cast("string")  # unique per doc: no accidental
+    # cross-doc vocabulary sharing (same-salt docs would be true near-dups)
     df = docs.select(
         "doc_id", "lang",
         F.explode(F.sequence(F.lit(0), F.lit(variants - 1))).alias("v"),
