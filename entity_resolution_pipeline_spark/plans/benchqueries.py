@@ -733,7 +733,7 @@ def q_embedding_near_dup(spark, sf_dir):
     from ..operators.dedup import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.95, n_planes=0)
+    return embedding_near_duplicates(emb, threshold=0.40, n_planes=0)
 
 
 ORACLE_EMBEDDING_NEAR_DUP = """
@@ -754,7 +754,7 @@ WHERE round(CASE WHEN sqrt(list_sum(list_transform(a.e, x -> x * x))) > 0
             THEN list_dot_product(a.e, b.e)
                  / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
                     * sqrt(list_sum(list_transform(b.e, x -> x * x))))
-            ELSE 0.0 END, 6) >= 0.95
+            ELSE 0.0 END, 6) >= 0.40
 """
 
 
