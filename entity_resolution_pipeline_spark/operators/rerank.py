@@ -71,6 +71,46 @@ def with_evidence_json(scored: DataFrame, feature_weights: dict[str, float]) -> 
     )
 
 
+def classify_match_type(decided: DataFrame, role_col: str = "role") -> DataFrame:
+    """Match-type classification (D2,
+    /root/reference/src/decisioning.py:112-131): role → match_type chain."""
+    r = F.upper(F.coalesce(F.col(role_col), F.lit("")))
+    return decided.withColumn(
+        "match_type",
+        F.when(r == "GUO", "GUO")
+         .when(r == "BRANCH", "BRANCH")
+         .when(r.isin("SUB", "SUBSIDIARY"), "SUBSIDIARY")
+         .otherwise("LEGAL_ENTITY"),
+    )
+
+
+def list_overlap_features(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Shared-list overlap features (F14,
+    /root/reference/src/investor_linkage.py:29-140): both columns hold
+    delimiter-separated name lists ("a, b and c"); output exact-overlap
+    count, Jaccard, and coverage of the smaller list — all native (the
+    reference's per-row loop applier becomes column expressions)."""
+    def toks(c):
+        parts = F.split(F.lower(F.coalesce(F.col(c), F.lit(""))),
+                        r"\s*(,|\||\band\b)\s*")
+        cleaned = F.transform(
+            parts, lambda p: F.trim(F.regexp_replace(p, r"[^a-z0-9 ]", " ")))
+        return F.array_distinct(F.filter(cleaned, lambda p: F.length(p) > 1))
+
+    a, b = toks(col_a), toks(col_b)
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    smaller = F.least(F.size(a), F.size(b)).cast("double")
+    return df.select(
+        "*",
+        F.size(F.array_intersect(a, b)).alias("overlap_count"),
+        F.round(F.when(union > 0, inter / union).otherwise(0.0), 6)
+         .alias("overlap_jaccard"),
+        F.round(F.when(smaller > 0, inter / smaller).otherwise(0.0), 6)
+         .alias("overlap_coverage"),
+    )
+
+
 def review_queue(decided: DataFrame) -> DataFrame:
     """Review-queue selection (D5): tier C, conflicts, or crowded groups."""
     return decided.where(

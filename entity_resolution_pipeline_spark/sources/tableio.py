@@ -66,6 +66,19 @@ class TableIO:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
 
+    def write_csv(self, name: str, df: DataFrame) -> None:
+        """CSV sink for human review queues (S8,
+        /root/reference/src/decisioning.py:319-333): header on, distributed
+        write (one file per partition; coalesce upstream if one file is
+        needed)."""
+        df.write.mode("overwrite").option("header", True).csv(self.path(name))
+
+    def read_csv(self, name: str, schema=None) -> DataFrame:
+        r = self.spark.read.option("header", True)
+        if schema is not None:
+            r = r.schema(schema)
+        return r.csv(self.path(name))
+
     def is_committed(self, name: str) -> bool:
         return name in self._read_manifest()["committed"]
 

@@ -1,0 +1,90 @@
+"""Streaming ingest (exactly-once, resume), CSV sink, match-type, list
+overlap, stratified sampling, correlation — §2 long-tail coverage."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from entity_resolution_pipeline_spark.operators.rerank import (
+    classify_match_type, list_overlap_features,
+)
+from entity_resolution_pipeline_spark.sources.tableio import TableIO
+from entity_resolution_pipeline_spark.streaming.ingest import (
+    stream_ingest_available_now,
+)
+
+
+def test_streaming_extract_incremental(spark, fixtures, tmp_root):
+    """availableNow ingest: first drain extracts everything; new files are
+    picked up on the next run; already-seen files are NOT reprocessed."""
+    src = os.path.join(tmp_root, "stream_src")
+    out = os.path.join(tmp_root, "stream_out")
+    ckpt = os.path.join(tmp_root, "stream_ckpt")
+    pages = fixtures["pages"]
+    first = pages.limit(50)
+    first.write.mode("overwrite").parquet(src)
+    n_first = first.count()
+
+    got1 = stream_ingest_available_now(spark, src, out, ckpt)
+    assert got1.count() == n_first
+    assert "text_norm" in got1.columns
+    # extraction invariant holds on the streaming path too
+    row = got1.where(F.col("text").isNotNull()).select("text", "text_norm").first()
+    assert row["text_norm"] == row["text"]
+
+    # append a second batch of files; only the delta is processed
+    pages.write.mode("append").parquet(src)
+    got2 = stream_ingest_available_now(spark, src, out, ckpt)
+    assert got2.count() == n_first + pages.count()
+
+
+def test_csv_sink_roundtrip(spark, tmp_root):
+    io = TableIO(spark, os.path.join(tmp_root, "csvio"))
+    df = spark.createDataFrame(
+        [("u1", "C", 0.8), ("u2", "A", 0.99)], ["url", "tier", "p_match"])
+    io.write_csv("review_queue", df.coalesce(1))
+    back = io.read_csv("review_queue")
+    assert back.count() == 2
+    assert set(back.columns) == {"url", "tier", "p_match"}
+
+
+def test_match_type_classification(spark):
+    df = spark.createDataFrame(
+        [("a", "GUO"), ("b", "branch"), ("c", "SUB"), ("d", None)],
+        ["id", "role"])
+    got = {r.id: r.match_type for r in classify_match_type(df).collect()}
+    assert got == {"a": "GUO", "b": "BRANCH", "c": "SUBSIDIARY", "d": "LEGAL_ENTITY"}
+
+
+def test_list_overlap_features(spark):
+    df = spark.createDataFrame(
+        [("Sequoia, Accel and Index", "accel | sequoia | benchmark")],
+        ["inv_a", "inv_b"])
+    r = list_overlap_features(df, "inv_a", "inv_b").collect()[0]
+    assert r["overlap_count"] == 2           # sequoia, accel
+    assert abs(r["overlap_jaccard"] - 0.5) < 1e-6   # 2 / 4
+    assert abs(r["overlap_coverage"] - 2 / 3) < 1e-6
+
+
+def test_stratified_sampling_seeded(spark, fixtures):
+    """E3: sampleBy with fixed seed is deterministic and respects strata."""
+    pages = fixtures["pages"].withColumn(
+        "stratum", F.when(F.col("lang") == "en", "en").otherwise("other"))
+    fr = {"en": 0.5, "other": 1.0}
+    s1 = pages.sampleBy("stratum", fr, seed=42)
+    s2 = pages.sampleBy("stratum", fr, seed=42)
+    assert s1.count() == s2.count()
+    assert s1.exceptAll(s2).count() == 0
+    n_other = pages.where("stratum = 'other'").count()
+    assert s1.where("stratum = 'other'").count() == n_other  # fraction 1.0 = all
+
+
+def test_feature_correlation(spark):
+    """M6: df.stat.corr over feature columns (driver-side selection logic)."""
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2 + 1).cast("double").alias("y"),
+        (F.pmod(F.col("id") * 37 + 11, F.lit(97))).cast("double").alias("z"),
+    )
+    assert abs(df.stat.corr("x", "y") - 1.0) < 1e-9
+    assert abs(df.stat.corr("x", "z")) < 0.3
