@@ -33,20 +33,54 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     )).otherwise(F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array()))
 
 
-def minhash_band_col(items: Column, band: int) -> Column:
-    """MinHash for one band: min over items of md5(band || ':' || item).
+def minhash_sig_col(items: Column, n_bands: int) -> Column:
+    """All ``n_bands`` MinHash band minima in ONE pass: array<string> of
+    8-hex-char values (lexicographic min == numeric min on uniform hex).
 
-    A family of independent hash functions indexed by the band salt; the
-    minimum of a uniform hash over a set is the classic MinHash statistic.
-    Returned as the 32-hex-char digest string (lexicographic min == numeric
-    min on the uniform hex encoding).
+    One md5 digest per item yields FOUR independent 32-bit band hashes
+    (non-overlapping 8-hex slices of the 32-hex digest); digest group g ≥ 1
+    salts the input (``"g{g}:" || item``) for bands beyond 4. The per-group
+    fold is a single ``aggregate`` over a materialized digest array, so the
+    md5 cost is ceil(n_bands/4) per item — vs one md5 *per band per item*
+    in the naive scheme — and every band minimum is computed in the same
+    traversal. (Higher-order-function lambdas are interpreted per element
+    with no common-subexpression elimination, so structuring the fold this
+    way, not expression-level dedup, is what bounds the hash count.)
+
+    Empty item arrays yield all-NULL band values: no bucket, no pairs —
+    matching ``list_min([]) IS NULL`` on the SQL-oracle side.
     """
-    hashed = F.transform(items, lambda s: F.md5(F.concat(F.lit(f"{band}:"), s)))
-    return F.array_min(hashed)
+    def _digest_fn(g: int):
+        if g == 0:
+            return lambda s: F.md5(s)
+        return lambda s: F.md5(F.concat(F.lit(f"g{g}:"), s))
+
+    def _merge_fn(width: int):
+        return lambda acc, d: F.zip_with(
+            acc,
+            F.array(*[F.substring(d, 1 + 8 * o, 8) for o in range(width)]),
+            lambda a, x: F.least(a, x),
+        )
+
+    n_groups = (n_bands + 3) // 4
+    groups: list[Column] = []
+    for g in range(n_groups):
+        width = min(4, n_bands - 4 * g)
+        digests = F.transform(items, _digest_fn(g))
+        # "g" sorts after every hex char, so it is an identity for least()
+        init = F.array_repeat(F.lit("g"), width)
+        groups.append(F.aggregate(digests, init, _merge_fn(width)))
+    sig = F.concat(*groups) if len(groups) > 1 else groups[0]
+    return F.transform(sig, lambda x: F.nullif(x, F.lit("g")))
 
 
 def minhash_bands(items: Column, n_bands: int) -> list[Column]:
-    return [minhash_band_col(items, b).alias(f"mh_{b}") for b in range(n_bands)]
+    """Per-band alias list (battery-facing). NOTE: referencing the shared
+    signature more than once re-evaluates it under projection collapse;
+    prefer :func:`minhash_sig_col` + a materialization barrier on hot paths.
+    """
+    sig = minhash_sig_col(items, n_bands)
+    return [F.element_at(sig, b + 1).alias(f"mh_{b}") for b in range(n_bands)]
 
 
 def minhash_band_fast_col(items: Column, band: int) -> Column:
@@ -68,28 +102,37 @@ def simhash_col(items: Column, bits: int = 32) -> Column:
     """SimHash over an item array, native expressions only.
 
     Each item hashes to `bits` bits (from its md5); the signature bit_i is 1
-    iff more items have bit_i set than unset. Implemented as a fold over the
-    bit positions of per-item integer hashes:
+    iff more items have bit_i set than unset:
 
         per-item int h = first 8 hex chars of md5 → conv to long (32 bits)
         bit_i vote = sum over items of (2*((h >> i) & 1) - 1)
         signature = Σ_i (vote_i > 0) << i
+
+    Evaluated as ONE fold carrying the full vote vector (array<long> of
+    ``bits``): per-bit aggregates would each inline and re-evaluate the
+    md5 transform (HOF lambdas are interpreted, no CSE), costing bits× the
+    hashing — the single-fold shape does one md5 per item total.
     """
     ints = F.transform(
         items, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
     )
-    def bit_vote(i: int) -> Column:
-        votes = F.aggregate(
-            ints,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-        return F.when(votes > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    sig = bit_vote(0)
-    for i in range(1, bits):
-        sig = sig + bit_vote(i)
-    return sig
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        ints,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            # (h >> i) & 1 via exact double arithmetic (h < 2^32 « 2^53)
+            F.transform(idx, lambda i: F.pmod(
+                F.floor(h / F.pow(F.lit(2.0), i)).cast("long"), F.lit(2))),
+            lambda a, b: a + (b * 2 - 1),
+        ),
+    )
+    weighted = F.zip_with(
+        votes, idx,
+        lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i)).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x).cast("long")
 
 
 def hamming64_col(a: Column, b: Column) -> Column:

@@ -57,8 +57,12 @@ def ivf_assign_cells(vectors: DataFrame, n_cells: int = 16,
     """Pick C deterministic centroids and assign every vector to its cell.
 
     Centroids = the C corpus vectors with smallest md5(id||seed) (a seeded
-    uniform draw, reproducible anywhere). Assignment = argmax cosine over
-    the broadcast centroid set. Returns (centroids, assigned).
+    uniform draw, reproducible anywhere). They are collected to the driver
+    (C rows — the IVF coarse quantizer is driver-state in FAISS too) and
+    embedded as a literal array, so assignment is a single NARROW projection:
+    per-row argmax via array_max over (cosine, -cell_id) structs. No
+    crossJoin row blow-up, no per-id window shuffle — at 10^12 rows the
+    corpus is touched exactly once, map-side. Returns (centroids, assigned).
     """
     ranked = vectors.select(
         F.col(id_col), F.col(vec_col),
@@ -68,15 +72,26 @@ def ivf_assign_cells(vectors: DataFrame, n_cells: int = 16,
         F.row_number().over(Window.orderBy("_h")).alias("cell_id"),
         F.col(vec_col).alias("centroid"),
     )
-    crossed = vectors.select(F.col(id_col), F.col(vec_col)) \
-        .crossJoin(F.broadcast(centroids))
-    sim = cosine_col(F.col(vec_col), F.col("centroid"))
-    w = Window.partitionBy(id_col).orderBy(F.desc(sim), F.asc("cell_id"))
-    assigned = (
-        crossed.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cell_id")
+    cent_rows = centroids.collect()  # C rows: tiny, sanctioned driver state
+    cent_lit = F.array(*[
+        F.struct(
+            F.lit(int(r["cell_id"])).alias("cell_id"),
+            F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("c"),
+        )
+        for r in cent_rows
+    ])
+    # max of (sim, -cell_id) == highest cosine, smallest cell_id on ties —
+    # identical tie-break to the former desc(sim), asc(cell_id) window
+    scored = F.transform(
+        cent_lit,
+        lambda ct: F.struct(
+            cosine_col(F.col(vec_col), ct["c"]).alias("sim"),
+            (-ct["cell_id"]).alias("neg_cell"),
+        ),
     )
+    best_cell = (-F.array_max(scored)["neg_cell"]).cast("int")
+    assigned = vectors.select(F.col(id_col), F.col(vec_col),
+                              best_cell.alias("cell_id"))
     return centroids, assigned
 
 

@@ -27,7 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import minhash_band_col, shingles_col, simhash_col
+from pyspark import StorageLevel
+
+from ..functions.hashing import minhash_sig_col, shingles_col, simhash_col
 from ..functions.similarity import cosine_col
 
 
@@ -68,33 +70,63 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 # --- MinHash + LSH near-dup ------------------------------------------------------
 
 
+def shingle_table(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, sh) — word k-shingle arrays, the shared input of the whole
+    MinHash family. Persist this once and feed it to both
+    :func:`lsh_candidate_pairs` and :func:`ngram_jaccard_pairs`: shingling +
+    hashing is the dominant per-row cost of near-dup, and every extra
+    consumer of an unpersisted plan re-runs it (the round-1 bench paid that
+    ~4× on `dedup_lsh_pairs`).
+    """
+    return docs.select(F.col(id_col).alias("id"),
+                       shingles_col(F.lower(F.col(text_col)), k).alias("sh"))
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        n_bands: int = 8) -> DataFrame:
-    """(id, mh_0..mh_{B-1}) — per-band MinHash over word k-shingles."""
-    sh = shingles_col(F.lower(F.col(text_col)), k)
-    return docs.select(
+    """(id, mh_0..mh_{B-1}) — per-band MinHash over word k-shingles.
+
+    The shared signature array is aliased in an inner projection so the
+    per-band split does not duplicate the fold (CollapseProject keeps
+    non-cheap aliases referenced more than once out-of-line).
+    """
+    sig = minhash_sig_col(shingles_col(F.lower(F.col(text_col)), k), n_bands)
+    inner = docs.select(F.col(id_col), sig.alias("_sig"))
+    return inner.select(
         F.col(id_col),
-        *[minhash_band_col(sh, b).alias(f"mh_{b}") for b in range(n_bands)],
+        *[F.element_at("_sig", b + 1).alias(f"mh_{b}") for b in range(n_bands)],
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+def lsh_candidate_pairs(docs: DataFrame | None = None, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         n_bands: int = 8,
-                        stop_threshold: int | None = None) -> DataFrame:
+                        stop_threshold: int | None = None,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Near-dup candidates: ids sharing ≥1 MinHash band bucket.
 
-    explode(bands) → self-join on (band, value) → distinct pair. The join
-    shuffles on the band bucket; ``stop_threshold`` drops degenerate buckets
-    (same guard as blocking stop-keys) so no task goes quadratic.
+    signature fold (one pass) → posexplode(bands) → self-join on the band
+    bucket → distinct pair. The signature table is persisted: it feeds the
+    bucket-size stats guard AND both self-join sides, and recomputing the
+    shingle→md5 chain per consumer was 46% of the round-1 bench suite.
+    ``stop_threshold`` drops degenerate buckets (same guard as blocking
+    stop-keys) so no task goes quadratic. Pass a precomputed ``shingles``
+    table (see :func:`shingle_table`) to share the shingling cost with the
+    Jaccard verify stage.
     """
-    sigs = minhash_signatures(docs, id_col, text_col, k, n_bands)
-    buckets = sigs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(*[
-            F.concat(F.lit(f"{b}:"), F.col(f"mh_{b}")) for b in range(n_bands)
-        ])).alias("bucket"),
+    if shingles is None:
+        shingles = shingle_table(docs, id_col, text_col, k)
+    sigs = (
+        shingles.select("id", minhash_sig_col(F.col("sh"), n_bands).alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    buckets = (
+        sigs.select("id", F.posexplode("sig").alias("band", "v"))
+        .where(F.col("v").isNotNull())
+        .select("id", F.concat(F.col("band").cast("string"), F.lit(":"),
+                               F.col("v")).alias("bucket"))
     )
     if stop_threshold is not None:
         sizes = buckets.groupBy("bucket").agg(F.count("*").alias("n"))
@@ -110,16 +142,17 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
+def ngram_jaccard_pairs(docs: DataFrame | None = None, pairs: DataFrame = None,
                         id_col: str = "doc_id", text_col: str = "text",
-                        k: int = 3) -> DataFrame:
+                        k: int = 3,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs: (id_a, id_b, jaccard).
 
     Two equi-joins to co-locate both shingle arrays on the pair row, then
-    pure array arithmetic (no Python).
+    pure array arithmetic (no Python). Pass the same persisted ``shingles``
+    table used for candidate generation so shingling runs once end-to-end.
     """
-    sh = docs.select(F.col(id_col).alias("id"),
-                     shingles_col(F.lower(F.col(text_col)), k).alias("sh"))
+    sh = shingles if shingles is not None else shingle_table(docs, id_col, text_col, k)
     j = (
         pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -136,9 +169,16 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 3,
                             n_bands: int = 8, threshold: float = 0.7,
                             stop_threshold: int | None = None) -> DataFrame:
-    """LSH recall + exact Jaccard precision: the classic two-phase near-dup."""
-    cands = lsh_candidate_pairs(docs, id_col, text_col, k, n_bands, stop_threshold)
-    verified = ngram_jaccard_pairs(docs, cands, id_col, text_col, k)
+    """LSH recall + exact Jaccard precision: the classic two-phase near-dup.
+
+    One persisted shingle table serves both phases; the LSH stage persists
+    its signature table internally. (Both caches are released by the
+    ContextCleaner when the returned plan is garbage-collected.)
+    """
+    sh = shingle_table(docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(n_bands=n_bands, stop_threshold=stop_threshold,
+                                shingles=sh)
+    verified = ngram_jaccard_pairs(pairs=cands, k=k, shingles=sh)
     return verified.where(F.col("jaccard") >= threshold)
 
 
@@ -191,26 +231,91 @@ def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
 # --- embedding-cosine near-dup ------------------------------------------------------
 
 
+def srp_plane_matrix(dim: int, n_tables: int, n_planes: int,
+                     seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic ±1 hyperplane matrix, built ONCE on the driver.
+
+    ``matrix[t][p][i]`` is plane p of hash table t, dimension i — the sign
+    of md5(f"{seed}:{t}:{p}:{i}"). Hashing happens at plan-build time (a few
+    thousand digests total), never per row — the round-1 design paid
+    dim × planes md5 calls per ROW, which is a scale-killer.
+    """
+    import hashlib
+
+    return [
+        [
+            [
+                1.0 if int(hashlib.md5(f"{seed}:{t}:{p}:{i}".encode())
+                           .hexdigest()[:8], 16) % 2 == 0 else -1.0
+                for i in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def srp_bucket_cols(vec, matrix: list[list[list[float]]]) -> list:
+    """One bucket key per hash table: "t:" + sign-bit string of the table's
+    planes. The projection is a literal-weighted dot product (zip_with +
+    fold) — a narrow, hash-free expression per row."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    out = []
+    for t, planes in enumerate(matrix):
+        bits = []
+        for row in planes:
+            w = F.array(*[F.lit(x) for x in row])
+            proj = F.aggregate(F.zip_with(vd, w, lambda x, y: x * y),
+                               F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        out.append(F.concat(F.lit(f"{t}:"), *bits))
+    return out
+
+
 def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               threshold: float = 0.95,
-                              n_planes: int = 0) -> DataFrame:
+                              n_tables: int = 0, n_planes: int = 3,
+                              dim: int | None = None, seed: int = 42,
+                              stop_threshold: int | None = None) -> DataFrame:
     """Pairs with cosine ≥ threshold over an array<float> column.
 
-    ``n_planes=0``: all-pairs join (correct baseline; only for corpora that
-    fit a shuffle — tests/bench). ``n_planes>0``: sign-random-projection
-    bucketing — deterministic pseudo-planes derived from md5 of the dimension
-    index, bucket key = sign bits; near-identical vectors almost surely share
-    the bucket, cutting the join from O(n²) to per-bucket. The scale path
-    loses recall near the threshold boundary (documented LSH trade-off).
+    ``n_tables=0``: all-pairs join (correct baseline; only for corpora that
+    fit a shuffle — tests/bench). ``n_tables>0``: banded sign-random-
+    projection LSH — L=n_tables hash tables of b=n_planes sign bits each;
+    candidates share ≥1 table bucket (recall 1-(1-p^b)^L per pair, p =
+    1-θ/π), then exact cosine verification. The join shuffles on bucket
+    keys with the same stop-key guard as MinHash-LSH, so the 100 TB shape
+    is bucketed, never quadratic. Plane weights are a driver-built literal
+    matrix (:func:`srp_plane_matrix`) — zero per-row hashing.
     """
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    if n_planes > 0:
-        sig = _srp_signature(F.col("v"), n_planes)
-        base = base.withColumn("bucket", sig)
-        a = base.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-        b = base.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-        pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    if n_tables > 0:
+        if dim is None:
+            dim = int(base.select(F.size("v")).first()[0])
+        matrix = srp_plane_matrix(dim, n_tables, n_planes, seed)
+        buckets = (
+            base.select(
+                "id", "v",
+                F.explode(F.array(*srp_bucket_cols(F.col("v"), matrix)))
+                .alias("bucket"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if stop_threshold is not None:
+            sizes = buckets.groupBy("bucket").agg(F.count("*").alias("n"))
+            buckets = buckets.join(
+                F.broadcast(sizes.where(F.col("n") > stop_threshold)),
+                "bucket", "left_anti")
+        a = buckets.select("bucket", F.col("id").alias("id_a"),
+                           F.col("v").alias("v_a"))
+        b = buckets.select("bucket", F.col("id").alias("id_b"),
+                           F.col("v").alias("v_b"))
+        pairs = (
+            a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "v_a", "v_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     else:
         a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
         b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
@@ -218,30 +323,3 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
     cos = cosine_col(F.col("v_a"), F.col("v_b"))
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")) \
                 .where(F.col("cosine") >= threshold)
-
-
-def _srp_signature(vec, n_planes: int):
-    """Sign-random-projection bucket key from deterministic pseudo-planes.
-
-    Plane p's weight for dimension i = (md5-derived int of "p:i") mapped to
-    ±1; the projection sign bit concatenation is the bucket. All native.
-    """
-    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
-    bits = []
-    for p in range(n_planes):
-        w = F.zip_with(
-            vec.cast("array<double>"),
-            dim_idx,
-            lambda x, i: x * (
-                F.when(
-                    F.pmod(
-                        F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}:"),
-                                                          i.cast("string"))), 1, 8),
-                               16, 10).cast("long"),
-                        F.lit(2)) == 0,
-                    F.lit(1.0)).otherwise(F.lit(-1.0))
-            ),
-        )
-        proj = F.aggregate(w, F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)

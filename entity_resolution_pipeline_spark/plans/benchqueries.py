@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import minhash_band_col, shingles_col, simhash_col
+from ..functions.hashing import shingles_col, simhash_col
 from ..functions.normalize import (
     acronym_col, fingerprint_col, normalize_ascii_col, prefix_col,
 )
@@ -35,7 +35,8 @@ from ..functions.textstats import (
 )
 from ..operators.ann import brute_force_topk
 from ..operators.dedup import (
-    lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs, simhash_table,
+    lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs, shingle_table,
+    simhash_table,
 )
 from ..operators.clustering import assign_clusters
 from ..operators.multimodal import decode_media, media_stats, media_table
@@ -43,6 +44,18 @@ from ..operators.multimodal import decode_media, media_stats, media_table
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like :func:`_t` but repartitioned to the session's parallelism.
+
+    The testdata files are single tiny parquet splits, so a plain scan gives
+    CPU-bound derivations (shingling, MinHash, SimHash) exactly one task. At
+    production scale the input arrives in thousands of splits and this
+    repartition is unnecessary — it exists so local benchmarks measure the
+    operator, not a one-core artifact of a sub-128MB file.
+    """
+    return _t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
 
 
 # =============================================================================
@@ -593,15 +606,20 @@ _SHINGLE3 = """
 
 def q_dedup_minhash_sigs(spark, sf_dir):
     """Per-band MinHash signatures (md5-based, engine-portable)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return minhash_signatures(docs, "doc_id", "text", k=3, n_bands=4)
 
 
+def _mh_band_sql(b: int) -> str:
+    """Band-b MinHash in the one-md5-per-shingle scheme: 8-hex slice o of
+    digest group g (g ≥ 1 salts the input), mirroring minhash_sig_col."""
+    g, o = divmod(b, 4)
+    inner = "md5(s)" if g == 0 else f"md5('g{g}:' || s)"
+    return f"list_min(list_transform(sh, s -> substring({inner}, {1 + 8 * o}, 8)))"
+
+
 def _oracle_minhash_sigs(n_bands: int = 4) -> str:
-    bands = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{b}:' || s))) AS mh_{b}"
-        for b in range(n_bands)
-    )
+    bands = ", ".join(f"{_mh_band_sql(b)} AS mh_{b}" for b in range(n_bands))
     return f"WITH t AS ({_SHINGLE_SQL}), s AS ({_SHINGLE3}) SELECT doc_id, {bands} FROM s"
 
 
@@ -611,16 +629,13 @@ LSH_STOP = 200  # degenerate-bucket guard: >200 members at sf-scale = no signal
 def q_dedup_lsh_pairs(spark, sf_dir):
     """LSH candidate pairs: ids sharing ≥1 MinHash band bucket (stop-key
     guarded — degenerate buckets are dropped, the skew story of blocking)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_bands=4,
                                stop_threshold=LSH_STOP)
 
 
 def _oracle_lsh_pairs(n_bands: int = 4) -> str:
-    bands = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{b}:' || s))) AS mh_{b}"
-        for b in range(n_bands)
-    )
+    bands = ", ".join(f"{_mh_band_sql(b)} AS mh_{b}" for b in range(n_bands))
     unions = " UNION ALL ".join(
         f"SELECT doc_id, '{b}:' || mh_{b} AS bucket FROM sigs" for b in range(n_bands)
     )
@@ -636,11 +651,12 @@ FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard for every LSH candidate pair."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs, "doc_id", "text", k=3, n_bands=4,
-                                stop_threshold=LSH_STOP)
-    return ngram_jaccard_pairs(docs, pairs, "doc_id", "text", k=3)
+    """Exact 3-gram Jaccard for every LSH candidate pair — one persisted
+    shingle table shared between candidate generation and verification."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", k=3).persist()
+    pairs = lsh_candidate_pairs(n_bands=4, stop_threshold=LSH_STOP, shingles=sh)
+    return ngram_jaccard_pairs(pairs=pairs, k=3, shingles=sh)
 
 
 def _oracle_ngram_jaccard(n_bands: int = 4) -> str:
@@ -661,7 +677,7 @@ JOIN s sb ON p.id_b = sb.doc_id
 
 def q_dedup_simhash(spark, sf_dir):
     """Native 32-bit SimHash signature per document."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return simhash_table(docs, "doc_id", "text", bits=32)
 
 
@@ -754,6 +770,68 @@ WHERE round(CASE WHEN sqrt(list_sum(list_transform(a.e, x -> x * x))) > 0
             THEN list_dot_product(a.e, b.e)
                  / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
                     * sqrt(list_sum(list_transform(b.e, x -> x * x))))
+            ELSE 0.0 END, 6) >= 0.40
+"""
+
+
+SRP_TABLES, SRP_PLANES, SRP_DIM, SRP_SEED = 16, 3, 64, 42
+
+
+def q_embedding_near_dup_srp(spark, sf_dir):
+    """Embedding near-dup via banded sign-random-projection LSH — the scale
+    path: L=16 hash tables × b=3 literal hyperplanes, bucket self-join,
+    exact cosine verify. Same result contract as the all-pairs baseline
+    minus LSH recall loss (bounded ≥0.9 in tests/test_dedup_ann.py)."""
+    from ..operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, threshold=0.40, n_tables=SRP_TABLES, n_planes=SRP_PLANES,
+        dim=SRP_DIM, seed=SRP_SEED)
+
+
+def _oracle_embedding_near_dup_srp() -> str:
+    """DuckDB replica of the SRP path: the same driver-built ±1 plane matrix
+    inlined as list literals, same bucket keys, same cosine verify."""
+    from ..operators.dedup import srp_plane_matrix
+
+    matrix = srp_plane_matrix(SRP_DIM, SRP_TABLES, SRP_PLANES, SRP_SEED)
+    buckets = []
+    for t, planes in enumerate(matrix):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(e, ["
+            + ",".join(str(x) for x in row)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for row in planes
+        )
+        buckets.append(f"'{t}:' || {bits}")
+    bucket_list = ",\n    ".join(buckets)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), b AS (
+  SELECT vec_id, e, u.bucket
+  FROM v, unnest([
+    {bucket_list}
+  ]) AS u(bucket)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b,
+       round(CASE WHEN sqrt(list_dot_product(x.e, x.e)) > 0
+                   AND sqrt(list_dot_product(y.e, y.e)) > 0
+             THEN list_dot_product(x.e, y.e)
+                  / (sqrt(list_dot_product(x.e, x.e))
+                     * sqrt(list_dot_product(y.e, y.e)))
+             ELSE 0.0 END, 6) AS cosine
+FROM cand JOIN v x ON cand.id_a = x.vec_id JOIN v y ON cand.id_b = y.vec_id
+WHERE round(CASE WHEN sqrt(list_dot_product(x.e, x.e)) > 0
+                  AND sqrt(list_dot_product(y.e, y.e)) > 0
+            THEN list_dot_product(x.e, y.e)
+                 / (sqrt(list_dot_product(x.e, x.e))
+                    * sqrt(list_dot_product(y.e, y.e)))
             ELSE 0.0 END, 6) >= 0.40
 """
 
@@ -1305,6 +1383,7 @@ QUERIES = {
     # embeddings
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_srp": q_embedding_near_dup_srp,
     "embedding_centroids": q_embedding_centroids,
     # graph
     "connected_components": q_connected_components,
@@ -1349,6 +1428,7 @@ ORACLE_SQL = {
     "dedup_simhash": _oracle_simhash(32),
     "ann_topk": ORACLE_ANN_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "embedding_near_dup_srp": _oracle_embedding_near_dup_srp(),
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "connected_components": ORACLE_CONNECTED_COMPONENTS,
     "media_stats": ORACLE_MEDIA_STATS,

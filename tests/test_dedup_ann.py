@@ -59,9 +59,27 @@ def test_embedding_near_duplicates_bruteforce_vs_srp(spark):
     exact = embedding_near_duplicates(emb, threshold=0.9999)
     pairs = {(r.id_a, r.id_b) for r in exact.collect()}
     assert (0, 100) in pairs
-    # SRP-bucketed path must also find the identical pair (same sign pattern)
-    srp = embedding_near_duplicates(emb, threshold=0.9999, n_planes=4)
-    assert (0, 100) in {(r.id_a, r.id_b) for r in srp.collect()}
+    # SRP-bucketed path must also find the identical pair (same sign pattern
+    # in every hash table) and be a subset of the exact result
+    srp = embedding_near_duplicates(emb, threshold=0.9999, n_tables=4, n_planes=4)
+    srp_pairs = {(r.id_a, r.id_b) for r in srp.collect()}
+    assert (0, 100) in srp_pairs
+    assert srp_pairs <= pairs
+
+
+def test_srp_recall_on_testdata(spark):
+    """Banded SRP (L=16, b=3) against the all-pairs baseline on the sf0.001
+    embeddings: planted near-dups (cosine ≥ 0.4) must be recovered at high
+    recall, and every SRP pair must appear in the exact result."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_near_duplicates(emb, threshold=0.40).collect()}
+    srp = {(r.id_a, r.id_b)
+           for r in embedding_near_duplicates(
+               emb, threshold=0.40, n_tables=16, n_planes=3).collect()}
+    assert srp <= exact
+    assert len(exact) > 0
+    assert len(srp & exact) / len(exact) >= 0.9
 
 
 def test_brute_force_topk_deterministic(spark):
