@@ -33,27 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_pipeline(spark, pages.drop("true_cluster"), io, cfg, resume=False)
 
 
-def _er_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: the full pipeline over pages derived from sf_dir
-    documents (pUDF extraction + iterative CC — not SQL-expressible)."""
-    from entity_resolution_pipeline_spark.plans.pipeline import (
-        PipelineConfig, run_pipeline,
-    )
-    from entity_resolution_pipeline_spark.sources.pages import pages_from_documents
-    from entity_resolution_pipeline_spark.sources.tableio import TableIO
-
-    pages = pages_from_documents(spark, sf_dir, variants=4)
-    io = TableIO(spark, tempfile.mkdtemp(prefix="er_q_"))
-    cfg = PipelineConfig(n_bands=8, top_n=100)
-    return run_pipeline(spark, pages.drop("true_cluster"), io, cfg, resume=False)
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from entity_resolution_pipeline_spark.plans.benchqueries import QUERIES
 
-    out = dict(QUERIES)
-    out["er_pipeline_clusters"] = _er_pipeline_clusters
-    return out
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:

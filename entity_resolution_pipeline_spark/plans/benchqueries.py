@@ -958,6 +958,51 @@ def q_media_decode(spark, sf_dir):
 
 
 # =============================================================================
+# Flagship ER pipeline, oracle-checked against the planted partition
+# =============================================================================
+
+
+def q_er_pipeline_clusters(spark, sf_dir):
+    """Full pipeline (extract → block → pair → score → cluster) over pages
+    derived from sf_dir documents, with cluster labels canonicalized to the
+    minimum member url. The pages corpus plants ``true_cluster = doc_id``
+    (sources/pages.py) and perturbations keep ≥80% token overlap, so a
+    correct pipeline recovers EXACTLY the planted partition — which the
+    DuckDB oracle reconstructs from the documents table (urls are a pure
+    function of doc_id × variant). Any split, merge, or misassignment
+    breaks the hash match: this is a driver-checkable end-to-end gate, not
+    a rows-only smoke test."""
+    import tempfile
+
+    from .pipeline import PipelineConfig, run_pipeline
+    from ..sources.pages import pages_from_documents
+    from ..sources.tableio import TableIO
+
+    pages = pages_from_documents(spark, sf_dir, variants=4)
+    io = TableIO(spark, tempfile.mkdtemp(prefix="er_q_"))
+    cfg = PipelineConfig(n_bands=8, top_n=100)
+    clusters = run_pipeline(spark, pages.drop("true_cluster"), io, cfg,
+                            resume=False)
+    w = Window.partitionBy("cluster_id")
+    return clusters.select("url", F.min("url").over(w).alias("cluster_id"))
+
+
+ORACLE_ER_PIPELINE_CLUSTERS = """
+WITH p AS (
+  SELECT doc_id,
+         'https://'
+         || CASE WHEN doc_id % 8 = 3 THEN 'hot-portal.example.com'
+                 ELSE 'doc-' || CAST(doc_id % 250 AS VARCHAR) || '.example.com'
+            END
+         || '/d' || CAST(doc_id AS VARCHAR) || '/v' || CAST(v AS VARCHAR)
+         AS url
+  FROM documents, unnest([0, 1, 2, 3]) AS t(v)
+)
+SELECT url, MIN(url) OVER (PARTITION BY doc_id) AS cluster_id FROM p
+"""
+
+
+# =============================================================================
 # Geo / dates / alias / weak supervision / Wilson / decisioning widening
 # =============================================================================
 
@@ -1399,6 +1444,8 @@ QUERIES = {
     "top1_with_alternatives": q_top1_with_alternatives,
     "url_domains": q_url_domains,
     "family_aggregates": q_family_aggregates,
+    # flagship end-to-end pipeline vs planted-partition oracle
+    "er_pipeline_clusters": q_er_pipeline_clusters,
 }
 
 ORACLE_SQL = {
@@ -1441,4 +1488,5 @@ ORACLE_SQL = {
     "top1_with_alternatives": ORACLE_TOP1_ALTERNATIVES,
     "url_domains": ORACLE_URL_DOMAINS,
     "family_aggregates": ORACLE_FAMILY_AGGREGATES,
+    "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }
