@@ -129,6 +129,87 @@ def acronym_col(col: Column) -> Column:
     return F.upper(F.array_join(F.transform(toks, lambda t: F.substring(t, 1, 1)), ""))
 
 
+# ~70 multi-language legal suffixes, pinned to the reference's set
+# (/root/reference/src/normalize.py:21-50) — spec data, not code
+LEGAL_SUFFIXES = [
+    # English
+    "inc", "incorporated", "corp", "corporation", "co", "company",
+    "ltd", "limited", "llc", "llp", "lp", "plc", "pvt",
+    # German
+    "gmbh", "ag", "kg", "ohg", "gbr", "ug", "mbh", "e v", "ev",
+    # French
+    "sa", "sarl", "sas", "sasu", "snc", "sca", "sci", "eurl",
+    # Italian
+    "spa", "s p a", "srl", "s r l", "sapa",
+    # Spanish
+    "sl", "s l", "slu", "sau", "sc", "coop",
+    # Dutch/Belgian
+    "bv", "b v", "nv", "n v", "vof", "cv", "cvba",
+    # Nordic
+    "ab", "a b", "as", "a s", "asa", "aps", "a/s", "oy", "oyj",
+    # Eastern European
+    "sp z o o", "spzoo", "zrt", "kft", "bt", "sro", "s r o", "sia", "uab",
+    # Other
+    "pty", "pty ltd", "pte", "pte ltd", "bhd", "sdn bhd",
+    "holding", "holdings", "group", "international", "intl",
+]
+
+# longest-first alternation so 'pty ltd' beats 'ltd' at the same position —
+# the reference sorts by len(desc) for the identical reason
+# (src/normalize.py:53-56)
+LEGAL_SUFFIX_PATTERN = (
+    r"(?i)\s*[,.]?\s*("
+    + "|".join(re.escape(s) for s in sorted(LEGAL_SUFFIXES, key=len, reverse=True))
+    + r")\s*\.?\s*$"
+)
+
+MAX_SUFFIX_PASSES = 5
+
+
+def strip_legal_suffix_col(col: Column) -> Column:
+    """Iterated legal-suffix strip (P4; src/normalize.py:104-127).
+
+    The reference loops its anchored suffix regex ≤5 times ("Acme Holding
+    Group International Ltd" needs 4). A fixed chain of 5 anchored
+    regexp_replace passes is equivalent — each pass truncates at most one
+    trailing suffix, and a pass with no match is the identity — and stays
+    fully native/codegen. Empty results fall back to the input (reference
+    returns ``name`` when everything was stripped). Input is expected to be
+    the canonically normalized name (the reference calls this on
+    ``name_norm`` too).
+    """
+    orig = F.coalesce(col, F.lit(""))
+    out = orig
+    for _ in range(MAX_SUFFIX_PASSES):
+        out = F.trim(F.regexp_replace(out, LEGAL_SUFFIX_PATTERN, ""))
+    out = F.trim(F.regexp_replace(out, r"[\s,.\-]+$", ""))
+    return F.when(out == "", orig).otherwise(out)
+
+
+# Prose legal-name patterns (P20; /root/reference/src/alias_registry.py:397-420):
+# a leading ALL-CAPS-ish name ending in a legal suffix, or a name announced by
+# "legal entity is" / "company is". Applied first-match-wins.
+PROSE_LEGAL_NAME_PATTERNS = [
+    r"^([A-Z][A-Z\s&\.\-]+(?:S\.?L\.?|SRL|GMBH|LTD\.?|INC\.?|AG|SA|SAS|AB|OY|BV|NV))",
+    r"legal entity is\s+([^,\.]+(?:Ltd|GmbH|SRL|S\.L\.|Inc|AG|SA|SAS)\.?)",
+    r"company is\s+([^,]+(?:Ltd|GmbH|SRL|S\.L\.|Inc|AG|SA|SAS)\.?)",
+]
+
+
+def extract_legal_name_col(col: Column) -> Column:
+    """First matching prose pattern's capture, trimmed; NULL when none.
+
+    regexp_extract returns '' on no-match, so each pattern folds into a
+    coalesce chain via nullif — one narrow projection, no UDF.
+    """
+    out = F.lit(None).cast("string")
+    for pat in PROSE_LEGAL_NAME_PATTERNS:
+        ex = F.nullif(F.trim(F.regexp_extract(F.coalesce(col, F.lit("")),
+                                              "(?i)" + pat, 1)), F.lit(""))
+        out = F.coalesce(out, ex)
+    return out
+
+
 GENERIC_TOKENS = [
     # generic-token stoplist in the spirit of src/normalize.py:64-72
     "global", "international", "services", "solutions", "systems",

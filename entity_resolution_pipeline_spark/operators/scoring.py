@@ -182,12 +182,13 @@ def match_edges(scored: DataFrame, threshold: float = 0.45) -> DataFrame:
 # ---- learned scorer (spark.ml GBT) -------------------------------------------
 
 
-def train_gbt(train_features: DataFrame, label_col: str = "label", seed: int = 42):
+def train_gbt(train_features: DataFrame, label_col: str = "label", seed: int = 42,
+              feature_cols: list[str] | None = None):
     """GBTClassifier over FEATURE_COLS; fitted model broadcasts JVM-side."""
     from pyspark.ml.classification import GBTClassifier
     from pyspark.ml.feature import VectorAssembler
 
-    asm = VectorAssembler(inputCols=FEATURE_COLS, outputCol="fvec")
+    asm = VectorAssembler(inputCols=feature_cols or FEATURE_COLS, outputCol="fvec")
     gbt = GBTClassifier(
         featuresCol="fvec", labelCol=label_col, maxIter=40, maxDepth=4, seed=seed,
     )

@@ -958,6 +958,136 @@ def q_media_decode(spark, sf_dir):
 
 
 # =============================================================================
+# Legal-suffix strip (P4) + prose legal-name extraction (P20)
+# =============================================================================
+
+
+def q_legal_suffix_strip(spark, sf_dir):
+    """Multi-pass legal-suffix strip + derived name views over deterministic
+    suffix-laden company names synthesized from customer (P4/P7/P8)."""
+    from ..functions.normalize import (
+        acronym_col, prefix_col, strip_legal_suffix_col,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    m = F.pmod(F.col("c_custkey"), F.lit(6))
+    suffix = (
+        F.when(m == 0, F.lit(" GmbH & Co. KG"))
+        .when(m == 1, F.lit(" Holdings Ltd."))
+        .when(m == 2, F.lit(" S.p.A."))
+        .when(m == 3, F.lit(" sp z o o"))
+        .when(m == 4, F.lit(" Pty Ltd"))
+        .otherwise(F.lit(""))
+    )
+    norm = normalize_ascii_col(F.concat(F.col("c_name"), suffix))
+    out = cust.select(F.col("c_custkey"), norm.alias("name_norm"))
+    stripped = strip_legal_suffix_col(F.col("name_norm"))
+    inner = out.select("c_custkey", "name_norm", stripped.alias("name_stripped"))
+    return inner.select(
+        "c_custkey", "name_norm", "name_stripped",
+        prefix_col(F.col("name_stripped"), 8).alias("prefix8"),
+        acronym_col(F.col("name_stripped")).alias("acronym"),
+    )
+
+
+def _oracle_legal_suffix_strip() -> str:
+    from ..functions.normalize import LEGAL_SUFFIX_PATTERN, MAX_SUFFIX_PASSES
+
+    strip_expr = "name_norm"
+    for _ in range(MAX_SUFFIX_PASSES):
+        strip_expr = (
+            f"trim(regexp_replace({strip_expr}, '{LEGAL_SUFFIX_PATTERN}', ''))"
+        )
+    strip_expr = rf"trim(regexp_replace({strip_expr}, '[\s,.\-]+$', ''))"
+    return rf"""
+WITH raw AS (
+  SELECT c_custkey,
+         c_name || CASE c_custkey % 6
+           WHEN 0 THEN ' GmbH & Co. KG'
+           WHEN 1 THEN ' Holdings Ltd.'
+           WHEN 2 THEN ' S.p.A.'
+           WHEN 3 THEN ' sp z o o'
+           WHEN 4 THEN ' Pty Ltd'
+           ELSE '' END AS raw_name
+  FROM customer
+), n AS (
+  SELECT c_custkey,
+         lower(trim(regexp_replace(
+           regexp_replace(raw_name, '[^a-zA-Z0-9\s]', ' ', 'g'),
+           '\s+', ' ', 'g'))) AS name_norm
+  FROM raw
+), s AS (
+  SELECT c_custkey, name_norm,
+         CASE WHEN {strip_expr} = '' THEN name_norm
+              ELSE {strip_expr} END AS name_stripped
+  FROM n
+)
+SELECT c_custkey, name_norm, name_stripped,
+       substring(replace(name_stripped, ' ', ''), 1, 8) AS prefix8,
+       upper(array_to_string(list_transform(
+         list_filter(string_split_regex(name_stripped, '\s+'), t -> t <> ''),
+         t -> substring(t, 1, 1)), '')) AS acronym
+FROM s
+"""
+
+
+def q_prose_legal_name(spark, sf_dir):
+    """Legal-name extraction from prose descriptions (P20) — first-match-
+    wins over the reference's three patterns; NULL for prose without one."""
+    from ..functions.normalize import extract_legal_name_col
+
+    sup = _t(spark, sf_dir, "supplier")
+    base = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ("Acme", "Zenith", "Nordwind", "Bluepeak", "Quartz")]),
+        (F.pmod(F.col("s_suppkey"), F.lit(5)) + 1).cast("int"))
+    m = F.pmod(F.col("s_suppkey"), F.lit(4))
+    desc = (
+        F.when(m == 0, F.concat(F.lit("The legal entity is "), base,
+                                F.lit(" Ltd., a limited liability company")))
+        .when(m == 1, F.concat(F.upper(base),
+                               F.lit(" TECHNOLOGIES GMBH, registered in Berlin")))
+        .when(m == 2, F.concat(F.lit("our company is "), base,
+                               F.lit(" SAS and we sell parts")))
+        .otherwise(F.concat(F.lit("a generic description of "), base))
+    )
+    inner = sup.select("s_suppkey", desc.alias("description"))
+    return inner.select(
+        "s_suppkey", "description",
+        extract_legal_name_col(F.col("description")).alias("legal_name"),
+    )
+
+
+def _oracle_prose_legal_name() -> str:
+    from ..functions.normalize import PROSE_LEGAL_NAME_PATTERNS
+
+    extracts = ", ".join(
+        f"nullif(trim(regexp_extract(description, '(?i){p}', 1)), '') AS e{i}"
+        for i, p in enumerate(PROSE_LEGAL_NAME_PATTERNS)
+    )
+    return f"""
+WITH names AS (
+  SELECT s_suppkey,
+         (['Acme','Zenith','Nordwind','Bluepeak','Quartz'])[(s_suppkey % 5) + 1]
+           AS base
+  FROM supplier
+), d AS (
+  SELECT s_suppkey,
+         CASE s_suppkey % 4
+           WHEN 0 THEN 'The legal entity is ' || base
+                       || ' Ltd., a limited liability company'
+           WHEN 1 THEN upper(base) || ' TECHNOLOGIES GMBH, registered in Berlin'
+           WHEN 2 THEN 'our company is ' || base || ' SAS and we sell parts'
+           ELSE 'a generic description of ' || base END AS description
+  FROM names
+), x AS (
+  SELECT s_suppkey, description, {extracts} FROM d
+)
+SELECT s_suppkey, description, coalesce(e0, e1, e2) AS legal_name FROM x
+"""
+
+
+# =============================================================================
 # Flagship ER pipeline, oracle-checked against the planted partition
 # =============================================================================
 
@@ -1444,6 +1574,9 @@ QUERIES = {
     "top1_with_alternatives": q_top1_with_alternatives,
     "url_domains": q_url_domains,
     "family_aggregates": q_family_aggregates,
+    # legal-name processing (P4/P20)
+    "legal_suffix_strip": q_legal_suffix_strip,
+    "prose_legal_name": q_prose_legal_name,
     # flagship end-to-end pipeline vs planted-partition oracle
     "er_pipeline_clusters": q_er_pipeline_clusters,
 }
@@ -1488,5 +1621,7 @@ ORACLE_SQL = {
     "top1_with_alternatives": ORACLE_TOP1_ALTERNATIVES,
     "url_domains": ORACLE_URL_DOMAINS,
     "family_aggregates": ORACLE_FAMILY_AGGREGATES,
+    "legal_suffix_strip": _oracle_legal_suffix_strip(),
+    "prose_legal_name": _oracle_prose_legal_name(),
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

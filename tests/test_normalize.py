@@ -72,3 +72,60 @@ def test_generic_flag(spark):
         [("global tech solutions",), ("zephyr dynamics",)], "s: string")
     got = [r["g"] for r in df.select(is_generic_col(F.col("s")).alias("g")).collect()]
     assert got == [True, False]
+
+
+# golden outputs captured from the reference implementation
+# (src/normalize.py:104-127 strip_legal_suffix run on name_norm)
+LEGAL_STRIP_CASES = [
+    ("kjell group ab", "kjell"),                      # 2 passes: ab, group
+    ("delivery hero se", "delivery hero se"),          # 'se' is NOT a suffix
+    ("societe generale s a", "societe generale s a"),  # 's a' not in the set
+    ("muller gmbh co kg", "muller"),                   # kg, co, gmbh
+    ("global services international holdings ltd", "global services"),
+    ("acme holding group international ltd", "acme"),  # 4 passes
+    ("acme co", "acme"),
+    ("beta s p a", "beta"),
+    ("gamma sp z o o", "gamma"),
+    ("x a s", "x"),                                    # via 'a s' (a/s norm'd)
+    ("a", "a"),
+    ("", ""),
+    ("ltd", "ltd"),                                    # full strip → fallback
+]
+
+
+def test_strip_legal_suffix_golden(spark):
+    from entity_resolution_pipeline_spark.functions.normalize import (
+        strip_legal_suffix_col,
+    )
+
+    df = spark.createDataFrame([(s,) for s, _ in LEGAL_STRIP_CASES], "s: string")
+    got = {r["s"]: r["o"] for r in
+           df.select("s", strip_legal_suffix_col(F.col("s")).alias("o")).collect()}
+    for s, want in LEGAL_STRIP_CASES:
+        assert got[s] == want, (s, got[s], want)
+
+
+def test_extract_legal_name_prose(spark):
+    from entity_resolution_pipeline_spark.functions.normalize import (
+        extract_legal_name_col,
+    )
+
+    # golden outputs captured from the reference implementation — NOTE its
+    # docstring examples are aspirational; pattern 1 runs IGNORECASE so a
+    # prose prefix ending in a suffix is captured whole. We pin behavior,
+    # not the docstring.
+    cases = [
+        ("WOODFLOW TECHNOLOGIES S.L., registered in Madrid",
+         "WOODFLOW TECHNOLOGIES S.L."),
+        ("The legal entity is SoCyber Ltd., a limited liability company",
+         "The legal entity is SoCyber Ltd."),
+        ("our company is Acme Widgets GmbH and we make widgets",
+         "our company is Acme Widgets GmbH"),
+        ("no legal name here at all", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s: string")
+    got = {r["s"]: r["o"] for r in
+           df.select("s", extract_legal_name_col(F.col("s")).alias("o")).collect()}
+    for s, want in cases:
+        assert got[s] == want, (s, got[s], want)
