@@ -958,6 +958,132 @@ def q_media_decode(spark, sf_dir):
 
 
 # =============================================================================
+# Corporate-family operators (G1/G2/J9)
+# =============================================================================
+
+_ENTITY_SQL = """
+  SELECT s_suppkey AS bvd_id,
+         CASE WHEN s_suppkey % 7 <> 6 THEN s_suppkey - (s_suppkey % 5) END
+           AS guo_bvd_id,
+         CASE WHEN s_suppkey % 3 = 1 THEN s_suppkey + 1000 END AS sub_bvd_id,
+         CASE WHEN s_suppkey % 4 = 2 THEN s_suppkey + 2000 END AS sh_bvd_id,
+         CASE WHEN s_suppkey % 6 = 3 THEN s_suppkey + 3000 END AS branch_bvd_id
+  FROM supplier
+"""
+
+
+def _supplier_entities(spark, sf_dir):
+    """Deterministic ownership graph planted on supplier: families of five
+    consecutive ids with the multiple-of-5 as GUO; every 7th id standalone;
+    sub/shareholder/branch edges on fixed residues."""
+    sup = _t(spark, sf_dir, "supplier")
+    s = F.col("s_suppkey")
+    return sup.select(
+        s.alias("bvd_id"),
+        F.when(F.pmod(s, 7) != 6, s - F.pmod(s, 5)).alias("guo_bvd_id"),
+        F.when(F.pmod(s, 3) == 1, s + 1000).alias("sub_bvd_id"),
+        F.when(F.pmod(s, 4) == 2, s + 2000).alias("sh_bvd_id"),
+        F.when(F.pmod(s, 6) == 3, s + 3000).alias("branch_bvd_id"),
+    )
+
+
+def q_family_structure(spark, sf_dir):
+    """family_id = coalesce(guo, id) + role priority + edge flags (G1)."""
+    from ..operators.family import derive_family_structure
+
+    return derive_family_structure(_supplier_entities(spark, sf_dir))
+
+
+ORACLE_FAMILY_STRUCTURE = f"""
+WITH entities AS ({_ENTITY_SQL})
+SELECT bvd_id,
+       CAST(coalesce(guo_bvd_id, bvd_id) AS VARCHAR) AS family_id,
+       CASE WHEN guo_bvd_id IS NOT NULL AND bvd_id = guo_bvd_id THEN 'GUO'
+            WHEN branch_bvd_id IS NOT NULL THEN 'BRANCH'
+            WHEN sub_bvd_id IS NOT NULL THEN 'SUBSIDIARY'
+            ELSE 'ENTITY' END AS entity_role,
+       CAST(guo_bvd_id AS VARCHAR) AS guo_bvd_id,
+       CAST(guo_bvd_id IS NOT NULL AS INT) AS has_guo,
+       CAST(sub_bvd_id IS NOT NULL AS INT) AS has_sub,
+       CAST(sh_bvd_id IS NOT NULL AS INT) AS has_sh,
+       CAST(branch_bvd_id IS NOT NULL AS INT) AS has_branch,
+       CAST(guo_bvd_id IS NOT NULL AS INT) + CAST(sub_bvd_id IS NOT NULL AS INT)
+       + CAST(sh_bvd_id IS NOT NULL AS INT)
+       + CAST(branch_bvd_id IS NOT NULL AS INT) AS edge_count
+FROM entities
+"""
+
+
+def q_family_expand(spark, sf_dir):
+    """Candidate expansion by GUO + top-3 family members (J9/G2), deduped
+    with priority original > GUO > member."""
+    from ..operators.family import (
+        derive_family_structure, expand_candidates_by_family,
+    )
+
+    family = derive_family_structure(_supplier_entities(spark, sf_dir))
+    sup = _t(spark, sf_dir, "supplier")
+    cands = sup.where(F.col("s_suppkey") < 20).select(
+        F.concat(F.lit("c"), F.col("s_suppkey").cast("string")).alias("cb_id"),
+        F.col("s_suppkey").alias("bvd_id"),
+    )
+    return expand_candidates_by_family(cands, family, max_family_members=3)
+
+
+ORACLE_FAMILY_EXPAND = f"""
+WITH entities AS ({_ENTITY_SQL}),
+fam AS (
+  SELECT CAST(bvd_id AS VARCHAR) AS eid,
+         CAST(coalesce(guo_bvd_id, bvd_id) AS VARCHAR) AS family_id,
+         CAST(guo_bvd_id AS VARCHAR) AS guo
+  FROM entities
+),
+cands AS (
+  SELECT 'c' || CAST(s_suppkey AS VARCHAR) AS cand_id,
+         CAST(s_suppkey AS VARCHAR) AS entity_id
+  FROM supplier WHERE s_suppkey < 20
+),
+base AS (
+  SELECT cand_id, entity_id, 'ORIGINAL' AS blocking_sources,
+         100 AS blocking_score, 1 AS "rank", 0 AS prio
+  FROM cands
+),
+joined AS (
+  SELECT c.cand_id, c.entity_id, f.family_id, f.guo
+  FROM cands c JOIN fam f ON c.entity_id = f.eid
+),
+guo_rows AS (
+  SELECT cand_id, guo AS entity_id, 'FAMILY_EXPAND_GUO' AS blocking_sources,
+         10 AS blocking_score, 999 AS "rank", 1 AS prio
+  FROM joined WHERE guo IS NOT NULL AND guo <> entity_id
+),
+members AS (
+  SELECT family_id, eid,
+         row_number() OVER (PARTITION BY family_id ORDER BY eid ASC) AS mr
+  FROM fam
+),
+member_rows AS (
+  SELECT j.cand_id, m.eid AS entity_id, 'FAMILY_EXPAND' AS blocking_sources,
+         5 AS blocking_score, 999 AS "rank", 2 AS prio
+  FROM joined j JOIN members m ON j.family_id = m.family_id
+  WHERE m.mr <= 3 AND m.eid <> j.entity_id
+    AND (j.guo IS NULL OR m.eid <> j.guo)
+),
+allr AS (
+  SELECT * FROM base UNION ALL SELECT * FROM guo_rows
+  UNION ALL SELECT * FROM member_rows
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY cand_id, entity_id
+            ORDER BY prio ASC, "rank" ASC, blocking_sources ASC) AS rn
+  FROM allr
+)
+SELECT cand_id, entity_id, blocking_sources, blocking_score, "rank"
+FROM r WHERE rn = 1
+"""
+
+
+# =============================================================================
 # Legal-suffix strip (P4) + prose legal-name extraction (P20)
 # =============================================================================
 
@@ -1574,6 +1700,9 @@ QUERIES = {
     "top1_with_alternatives": q_top1_with_alternatives,
     "url_domains": q_url_domains,
     "family_aggregates": q_family_aggregates,
+    # corporate-family operators (G1/G2/J9)
+    "family_structure": q_family_structure,
+    "family_expand": q_family_expand,
     # legal-name processing (P4/P20)
     "legal_suffix_strip": q_legal_suffix_strip,
     "prose_legal_name": q_prose_legal_name,
@@ -1621,6 +1750,8 @@ ORACLE_SQL = {
     "top1_with_alternatives": ORACLE_TOP1_ALTERNATIVES,
     "url_domains": ORACLE_URL_DOMAINS,
     "family_aggregates": ORACLE_FAMILY_AGGREGATES,
+    "family_structure": ORACLE_FAMILY_STRUCTURE,
+    "family_expand": ORACLE_FAMILY_EXPAND,
     "legal_suffix_strip": _oracle_legal_suffix_strip(),
     "prose_legal_name": _oracle_prose_legal_name(),
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
