@@ -31,6 +31,9 @@ from entity_resolution_pipeline_spark.plans.pipeline import (  # noqa: E402
     PipelineConfig, stage_attrs, stage_blocks, stage_clusters, stage_extract,
     stage_pairs, stage_scored,
 )
+from entity_resolution_pipeline_spark.operators.scoring import (  # noqa: E402
+    release_persisted,
+)
 from entity_resolution_pipeline_spark.session import get_spark  # noqa: E402
 from entity_resolution_pipeline_spark.sources.pages import pages_from_documents  # noqa: E402
 
@@ -91,6 +94,7 @@ def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
         t0 = time.perf_counter()
         scored = stage_scored(pairs, attrs, cfg)
         scored.write.mode("overwrite").parquet(f"{tmp}/scored")
+        release_persisted(scored)
         scored = spark.read.parquet(f"{tmp}/scored")
         times["score"] = time.perf_counter() - t0
 

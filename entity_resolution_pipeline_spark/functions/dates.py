@@ -44,3 +44,22 @@ def parse_flexible_date_col(s: Column) -> Column:
 
 def year_of_flexible_col(s: Column) -> Column:
     return F.year(parse_flexible_date_col(s))
+
+
+def year_diff_col(y1: Column, y2: Column) -> Column:
+    """|year1 − year2|, NULL when either side is missing (F8,
+    /root/reference/src/features.py:267-276)."""
+    return F.abs(y1.cast("int") - y2.cast("int"))
+
+
+def year_compat_col(y1: Column, y2: Column) -> Column:
+    """Year compatibility step function (F8, src/features.py:278-299):
+    0→1.0, ≤2→0.8, ≤5→0.5, >5→0.2, missing→0.5 (neutral)."""
+    d = year_diff_col(y1, y2)
+    return (
+        F.when(d.isNull(), F.lit(0.5))
+        .when(d == 0, F.lit(1.0))
+        .when(d <= 2, F.lit(0.8))
+        .when(d <= 5, F.lit(0.5))
+        .otherwise(F.lit(0.2))
+    )

@@ -111,6 +111,28 @@ def list_overlap_features(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
 
 
+def apply_investor_guardrails(matches: DataFrame,
+                              promote_threshold: float = 0.3,
+                              coverage_col: str = "investor_cb_coverage",
+                              has_data_col: str = "has_investor_data") -> DataFrame:
+    """Post-decision investor guardrails (D6,
+    /root/reference/src/investor_linkage.py:205-260): tier-B/C matches with
+    investor coverage ≥ threshold are marked 'promoted'; tier-A matches
+    that have investor data but ZERO overlap are marked 'flagged' (for the
+    review queue). Like the reference, the adjustment column records the
+    action without mutating the tier. Disjoint masks → one when() chain.
+    """
+    cov = F.coalesce(F.col(coverage_col).cast("double"), F.lit(0.0))
+    has = F.coalesce(F.col(has_data_col).cast("boolean"), F.lit(False))
+    return matches.withColumn(
+        "investor_adjustment",
+        F.when((cov >= promote_threshold) & F.col("tier").isin("B", "C"),
+               "promoted")
+         .when((F.col("tier") == "A") & has & (cov == 0.0), "flagged")
+         .otherwise("none"),
+    )
+
+
 def review_queue(decided: DataFrame) -> DataFrame:
     """Review-queue selection (D5): tier C, conflicts, or crowded groups."""
     return decided.where(

@@ -103,6 +103,19 @@ def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
     reach) the threshold keeps its decision regardless of JW; only pairs
     inside the band are refined. At web scale this keeps ~90+% of pairs
     entirely JVM-side.
+
+    CONTRACT: ``p_match`` here is valid ONLY for thresholding at
+    ``threshold`` — cold-branch scores omit the JW term, so above-threshold
+    values run systematically up to JW_WEIGHT low. Do NOT feed this output
+    to :func:`assign_tiers` or rerank bands; use :func:`heuristic_score`
+    (full features) or the GBT path for calibrated scores. The
+    ``jw_fingerprint`` column carries the computed JW for warm-band pairs
+    and NULL for cold ones, so downstream code can detect partial scoring
+    (``apply_gbt`` refuses NULL features by construction).
+
+    The persisted intermediate is released via :func:`release_persisted`
+    once the caller has materialized the result (pipeline stages write to
+    parquet, so the cache is single-use).
     """
     a = attrs.select(
         F.col("url").alias("_ua"),
@@ -141,17 +154,33 @@ def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
 
     feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
     lo, hi = threshold - JW_WEIGHT, threshold
-    cold = feat.where(~F.col("p_base").between(lo, hi)).withColumn(
-        "p_match", F.round(F.col("p_base"), 6))
-    warm = feat.where(F.col("p_base").between(lo, hi)).withColumn(
-        "p_match",
-        F.round(F.col("p_base")
-                + JW_WEIGHT * jaro_winkler_udf(F.col("fp_head_a"), F.col("fp_head_b")), 6),
-    )
+    cold = feat.where(~F.col("p_base").between(lo, hi)) \
+        .withColumn("jw_fingerprint", F.lit(None).cast("double")) \
+        .withColumn("p_match", F.round(F.col("p_base"), 6))
+    warm = feat.where(F.col("p_base").between(lo, hi)) \
+        .withColumn("jw_fingerprint",
+                    jaro_winkler_udf(F.col("fp_head_a"), F.col("fp_head_b"))) \
+        .withColumn("p_match",
+                    F.round(F.col("p_base")
+                            + JW_WEIGHT * F.col("jw_fingerprint"), 6))
     keep = ["url_a", "url_b", "blocking_score", "token_jaccard",
-            "lev_ratio_prefix", "domain_exact", "prefix_match", "size_ratio",
-            "p_match"]
-    return cold.select(*keep).unionByName(warm.select(*keep))
+            "jw_fingerprint", "lev_ratio_prefix", "domain_exact",
+            "prefix_match", "size_ratio", "p_match"]
+    out = cold.select(*keep).unionByName(warm.select(*keep))
+    out._erps_persisted = feat  # released by release_persisted() post-write
+    return out
+
+
+def release_persisted(df: DataFrame) -> None:
+    """Unpersist the intermediate cache attached to a two-phase result.
+
+    Call after the result is materialized (written/collected): a long-lived
+    driver session running many scorings would otherwise accumulate cached
+    partitions until GC gets around to them.
+    """
+    cached = getattr(df, "_erps_persisted", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 JW_WEIGHT = 0.20

@@ -958,6 +958,86 @@ def q_media_decode(spark, sf_dir):
 
 
 # =============================================================================
+# Temporal compat (F8) + investor guardrails (D6)
+# =============================================================================
+
+
+def q_year_compat(spark, sf_dir):
+    """Year-difference + compatibility step function over planted year
+    pairs from orders (some offsets, some NULL sides)."""
+    from ..functions.dates import year_compat_col, year_diff_col
+
+    o = _t(spark, sf_dir, "orders")
+    m = F.pmod(F.col("o_orderkey"), F.lit(9))
+    y1 = F.year("o_orderdate")
+    y2 = F.when(m != 8, y1 + m.cast("int") - 3)  # diffs -3..4; m=8 → NULL
+    return o.select(
+        "o_orderkey",
+        y1.alias("y1"), y2.alias("y2"),
+        year_diff_col(y1, y2).alias("year_diff"),
+        year_compat_col(y1, y2).alias("year_compat"),
+    )
+
+
+ORACLE_YEAR_COMPAT = """
+WITH y AS (
+  SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS y1,
+         CASE WHEN o_orderkey % 9 <> 8
+              THEN CAST(year(o_orderdate) + (o_orderkey % 9) - 3 AS INT)
+         END AS y2
+  FROM orders
+)
+SELECT o_orderkey, y1, y2,
+       abs(y1 - y2) AS year_diff,
+       CAST(CASE WHEN y2 IS NULL THEN 0.5
+            WHEN abs(y1 - y2) = 0 THEN 1.0
+            WHEN abs(y1 - y2) <= 2 THEN 0.8
+            WHEN abs(y1 - y2) <= 5 THEN 0.5
+            ELSE 0.2 END AS DOUBLE) AS year_compat
+FROM y
+"""
+
+
+def q_investor_guardrails(spark, sf_dir):
+    """Promote/flag guardrails over planted tiers + investor coverage (D6)."""
+    from ..operators.rerank import apply_investor_guardrails
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    tier = (
+        F.when(F.pmod(k, 4) == 0, "A").when(F.pmod(k, 4) == 1, "B")
+        .when(F.pmod(k, 4) == 2, "C").otherwise("REJECT")
+    )
+    matches = o.select(
+        k.alias("match_id"),
+        tier.alias("tier"),
+        (F.pmod(k, 10).cast("double") / 10.0).alias("investor_cb_coverage"),
+        (F.pmod(k, 3) > 0).alias("has_investor_data"),
+    )
+    return apply_investor_guardrails(matches, promote_threshold=0.3)
+
+
+ORACLE_INVESTOR_GUARDRAILS = """
+WITH m AS (
+  SELECT o_orderkey AS match_id,
+         CASE o_orderkey % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'B'
+              WHEN 2 THEN 'C' ELSE 'REJECT' END AS tier,
+         CAST(o_orderkey % 10 AS DOUBLE) / 10.0 AS investor_cb_coverage,
+         (o_orderkey % 3) > 0 AS has_investor_data
+  FROM orders
+)
+SELECT match_id, tier, investor_cb_coverage, has_investor_data,
+       CASE WHEN investor_cb_coverage >= 0.3 AND tier IN ('B', 'C')
+              THEN 'promoted'
+            WHEN tier = 'A' AND has_investor_data
+                 AND investor_cb_coverage = 0.0 THEN 'flagged'
+            ELSE 'none' END AS investor_adjustment
+FROM m
+"""
+
+
+# =============================================================================
 # Corporate-family operators (G1/G2/J9)
 # =============================================================================
 
@@ -1700,6 +1780,9 @@ QUERIES = {
     "top1_with_alternatives": q_top1_with_alternatives,
     "url_domains": q_url_domains,
     "family_aggregates": q_family_aggregates,
+    # temporal + guardrails (F8/D6)
+    "year_compat": q_year_compat,
+    "investor_guardrails": q_investor_guardrails,
     # corporate-family operators (G1/G2/J9)
     "family_structure": q_family_structure,
     "family_expand": q_family_expand,
@@ -1750,6 +1833,8 @@ ORACLE_SQL = {
     "top1_with_alternatives": ORACLE_TOP1_ALTERNATIVES,
     "url_domains": ORACLE_URL_DOMAINS,
     "family_aggregates": ORACLE_FAMILY_AGGREGATES,
+    "year_compat": ORACLE_YEAR_COMPAT,
+    "investor_guardrails": ORACLE_INVESTOR_GUARDRAILS,
     "family_structure": ORACLE_FAMILY_STRUCTURE,
     "family_expand": ORACLE_FAMILY_EXPAND,
     "legal_suffix_strip": _oracle_legal_suffix_strip(),

@@ -24,7 +24,7 @@ from ..operators.clustering import assign_clusters
 from ..operators.pairs import candidate_pairs
 from ..operators.scoring import (
     compute_features, heuristic_score, match_edges, page_attrs,
-    score_pairs_two_phase,
+    release_persisted, score_pairs_two_phase,
 )
 from ..functions.normalize import extract_text_udf
 from ..sources.tableio import TableIO
@@ -156,6 +156,7 @@ def run_pipeline(
     if not committed("scored"):
         scored = stage_scored(pairs, attrs, cfg)
         io.write("scored", scored, meta={"stage": "scored"})
+        release_persisted(scored)
         io.append_audit([{
             "stage": "scored",
             "score_histogram": _score_histogram(io.read("scored")),

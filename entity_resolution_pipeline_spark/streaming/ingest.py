@@ -58,8 +58,21 @@ def stream_extract(
 def stream_ingest_available_now(spark: SparkSession, input_dir: str,
                                 output_dir: str, checkpoint_dir: str,
                                 timeout_s: int = 300) -> DataFrame:
-    """Drain-everything-then-stop ingest; returns the extracted table."""
+    """Drain-everything-then-stop ingest; returns the extracted table.
+
+    awaitTermination returning False means the drain did NOT finish inside
+    ``timeout_s`` — reading the output then would silently hand back a
+    partially-written table, so the query is stopped and a TimeoutError
+    raised instead (resume is safe: the checkpoint already recorded the
+    committed batches).
+    """
     q = stream_extract(spark, input_dir, output_dir, checkpoint_dir,
                        available_now=True)
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming ingest did not drain within {timeout_s}s; "
+            f"output at {output_dir} is partial — rerun to resume from "
+            f"checkpoint {checkpoint_dir}")
     return spark.read.parquet(output_dir)
