@@ -60,6 +60,24 @@ def derive_family_structure(entities: DataFrame, id_col: str = "bvd_id",
     )
 
 
+def structural_features(family: DataFrame) -> DataFrame:
+    """Per-entity structural scorer features (F9,
+    /root/reference/src/features.py structural block): ``is_guo`` flag and
+    ``log1p_family_size``. Family sizes come from one map-side-combined
+    count shuffle; the join back is on family_id (broadcast when the
+    family dimension is small)."""
+    sizes = family.groupBy("family_id").agg(F.count("*").alias("family_size"))
+    return (
+        family.join(sizes, "family_id")
+        .select(
+            "bvd_id", "family_id",
+            (F.col("entity_role") == "GUO").cast("double").alias("is_guo"),
+            F.round(F.log1p(F.col("family_size").cast("double")), 6)
+             .alias("log1p_family_size"),
+        )
+    )
+
+
 def family_members_topk(family: DataFrame, k: int) -> DataFrame:
     """(family_id, bvd_id, member_rank) — the k smallest-id members per
     family. One shuffle on family_id; WindowGroupLimit pushes the cap down

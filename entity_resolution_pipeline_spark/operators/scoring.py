@@ -32,6 +32,11 @@ FEATURE_COLS = [
     "domain_exact", "prefix_match", "size_ratio",
 ]
 
+# acronym equality (F5) rides along in compute_features; it is not in the
+# calibrated heuristic blend, but the GBT path can consume it via
+# train_gbt(feature_cols=EXTENDED_FEATURE_COLS)
+EXTENDED_FEATURE_COLS = [*FEATURE_COLS, "acronym_match"]
+
 
 TOKEN_SKETCH_K = 64
 
@@ -53,12 +58,15 @@ def page_attrs(pages: DataFrame, jw_cap: int = 48,
     # xxhash64: native, fixed spec, ~20× cheaper than md5 — pipeline-internal
     hashed = F.array_sort(F.array_distinct(
         F.transform(toks, lambda t: F.xxhash64(t))))
+    from ..functions.normalize import acronym_col
+
     return pages.select(
         "url",
         F.slice(hashed, 1, sketch_k).alias("toks"),
         F.size(hashed).alias("n_toks"),
         fingerprint_col(F.col("text_norm"), 2).alias("fp"),
         etld1_col(F.col("url")).alias("dom"),
+        F.substring(acronym_col(F.col("text_norm")), 1, 16).alias("acro"),
     ).withColumn("fp_head", F.substring("fp", 1, jw_cap)) \
      .withColumn("p16", prefix_col(F.col("fp"), 16))  # order-invariant prefix
 
@@ -89,6 +97,8 @@ def compute_features(pairs: DataFrame, attrs: DataFrame) -> DataFrame:
         F.when(F.greatest(sz_a, sz_b) > 0,
                F.least(sz_a, sz_b) / F.greatest(sz_a, sz_b)
                ).otherwise(F.lit(0.0)).alias("size_ratio"),
+        ((F.col("acro_a") == F.col("acro_b")) & (F.length("acro_a") >= 2))
+        .cast("double").alias("acronym_match"),
     )
 
 

@@ -1094,6 +1094,36 @@ FROM entities
 """
 
 
+def q_family_features(spark, sf_dir):
+    """Structural scorer features per entity: is_guo + log1p(family_size)
+    (F9) over the planted ownership graph."""
+    from ..operators.family import derive_family_structure, structural_features
+
+    return structural_features(
+        derive_family_structure(_supplier_entities(spark, sf_dir)))
+
+
+ORACLE_FAMILY_FEATURES = f"""
+WITH entities AS ({_ENTITY_SQL}),
+fam AS (
+  SELECT bvd_id,
+         CAST(coalesce(guo_bvd_id, bvd_id) AS VARCHAR) AS family_id,
+         CASE WHEN guo_bvd_id IS NOT NULL AND bvd_id = guo_bvd_id
+              THEN 'GUO'
+              WHEN branch_bvd_id IS NOT NULL THEN 'BRANCH'
+              WHEN sub_bvd_id IS NOT NULL THEN 'SUBSIDIARY'
+              ELSE 'ENTITY' END AS entity_role
+  FROM entities
+),
+sizes AS (SELECT family_id, COUNT(*) AS n FROM fam GROUP BY family_id)
+SELECT f.bvd_id, f.family_id,
+       CAST(CASE WHEN f.entity_role = 'GUO' THEN 1.0 ELSE 0.0 END AS DOUBLE)
+         AS is_guo,
+       round(ln(1 + CAST(s.n AS DOUBLE)), 6) AS log1p_family_size
+FROM fam f JOIN sizes s ON f.family_id = s.family_id
+"""
+
+
 def q_family_expand(spark, sf_dir):
     """Candidate expansion by GUO + top-3 family members (J9/G2), deduped
     with priority original > GUO > member."""
@@ -1785,6 +1815,7 @@ QUERIES = {
     "investor_guardrails": q_investor_guardrails,
     # corporate-family operators (G1/G2/J9)
     "family_structure": q_family_structure,
+    "family_features": q_family_features,
     "family_expand": q_family_expand,
     # legal-name processing (P4/P20)
     "legal_suffix_strip": q_legal_suffix_strip,
@@ -1836,6 +1867,7 @@ ORACLE_SQL = {
     "year_compat": ORACLE_YEAR_COMPAT,
     "investor_guardrails": ORACLE_INVESTOR_GUARDRAILS,
     "family_structure": ORACLE_FAMILY_STRUCTURE,
+    "family_features": ORACLE_FAMILY_FEATURES,
     "family_expand": ORACLE_FAMILY_EXPAND,
     "legal_suffix_strip": _oracle_legal_suffix_strip(),
     "prose_legal_name": _oracle_prose_legal_name(),

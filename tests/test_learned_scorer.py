@@ -51,6 +51,23 @@ def test_gbt_scorer_hits_f1_gate(spark, fixtures, features_and_labels):
     assert m.f1 >= 0.99, (m.tp, m.fp, m.fn)
 
 
+def test_gbt_extended_features_hits_f1_gate(spark, fixtures, features_and_labels):
+    """F5: acronym_match rides in compute_features; a GBT trained on the
+    extended feature set must still clear the gate."""
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        EXTENDED_FEATURE_COLS,
+    )
+
+    feats, train, extracted = features_and_labels
+    assert "acronym_match" in feats.columns
+    asm, model = train_gbt(train, seed=42, feature_cols=EXTENDED_FEATURE_COLS)
+    scored = apply_gbt(feats, asm, model)
+    clusters = assign_clusters(extracted.select("url"),
+                               match_edges(scored, threshold=0.5))
+    m = pairwise_metrics(clusters, fixtures["labeled_pairs"])
+    assert m.f1 >= 0.99, (m.tp, m.fp, m.fn)
+
+
 def test_gbt_probabilities_bounded_and_deterministic(spark, features_and_labels):
     feats, train, _ = features_and_labels
     asm, model = train_gbt(train, seed=42)
