@@ -59,7 +59,13 @@ def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
     tmp = tempfile.mkdtemp(prefix="bench_er_")
     times: dict[str, float] = {}
     try:
-        pages = pages_from_documents(spark, sf_dir, variants=variants).drop("true_cluster")
+        cpus = spark.sparkContext.defaultParallelism
+        # n_partitions: the synthetic corpus derives from ONE tiny parquet
+        # split, which would run derivation + extraction on one core at any
+        # cluster size (observed: extract flat 8→32 in round 1). Real crawl
+        # input arrives in thousands of splits; this restores that layout.
+        pages = pages_from_documents(spark, sf_dir, variants=variants,
+                                     n_partitions=cpus).drop("true_cluster")
         # top_n=20: bench clusters are ≤16 variants, so 20 keeps full recall
         # while shutting out same-domain junk pairs (the reference's 300 cap
         # serves 16M candidates per query-set; per-entity scale differs)

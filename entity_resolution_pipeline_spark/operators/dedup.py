@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 from ..functions.hashing import minhash_sig_col, shingles_col, simhash_col
-from ..functions.similarity import cosine_col
+
 
 
 # --- exact dedup ---------------------------------------------------------------
@@ -255,21 +255,33 @@ def srp_plane_matrix(dim: int, n_tables: int, n_planes: int,
     ]
 
 
-def srp_bucket_cols(vec, matrix: list[list[list[float]]]) -> list:
-    """One bucket key per hash table: "t:" + sign-bit string of the table's
-    planes. The projection is a literal-weighted dot product (zip_with +
-    fold) — a narrow, hash-free expression per row."""
-    vd = F.transform(vec, lambda x: x.cast("double"))
-    out = []
-    for t, planes in enumerate(matrix):
-        bits = []
-        for row in planes:
-            w = F.array(*[F.lit(x) for x in row])
-            proj = F.aggregate(F.zip_with(vd, w, lambda x, y: x * y),
-                               F.lit(0.0), lambda acc, x: acc + x)
-            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-        out.append(F.concat(F.lit(f"{t}:"), *bits))
-    return out
+def srp_bucket_table(base: DataFrame, matrix: list[list[list[float]]],
+                     n_tables: int, n_planes: int) -> DataFrame:
+    """(id, bucket) — one row per (vector, hash table).
+
+    Projections run as ONE Arrow-batched numpy matmul per batch
+    (functions/similarity.srp_projection_udf): per-element HOF folds are
+    interpreted (no codegen, ~seconds for 10^5 rows), and a per-plane
+    expression tree makes Catalyst analysis the bottleneck — measured 18 s
+    cold / 9 s warm for the HOF shape vs sub-second for BLAS. Bucket keys
+    (sign-bit strings per table) derive natively from the projection array
+    with cheap element_at references.
+    """
+    from ..functions.similarity import srp_projection_udf
+
+    flat = [row for planes in matrix for row in planes]
+    proj = srp_projection_udf(flat)
+    projs = base.select("id", proj("v").alias("_p"))
+    bucket_exprs = [
+        F.concat(F.lit(f"{t}:"), *[
+            F.when(F.element_at("_p", t * n_planes + p + 1) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ])
+        for t in range(n_tables)
+    ]
+    return projs.select(
+        "id", F.explode(F.array(*bucket_exprs)).alias("bucket"))
 
 
 def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
@@ -289,17 +301,26 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
     is bucketed, never quadratic. Plane weights are a driver-built literal
     matrix (:func:`srp_plane_matrix`) — zero per-row hashing.
     """
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # per-vector norms are computed ONCE here (2 folds per ROW) so pair
+    # verification needs a single dot-product fold per PAIR instead of the
+    # three folds of cosine_col — at millions of candidate pairs the
+    # interpreted higher-order-function arithmetic is the bottleneck
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(
+        F.col(id_col).alias("id"), vd.alias("v"),
+        F.sqrt(F.aggregate(F.transform(vd, lambda x: x * x),
+                           F.lit(0.0), lambda a, x: a + x)).alias("nrm"),
+    )
     if n_tables > 0:
         if dim is None:
             dim = int(base.select(F.size("v")).first()[0])
         matrix = srp_plane_matrix(dim, n_tables, n_planes, seed)
+        # buckets carry IDS ONLY: the self-join + distinct then shuffles two
+        # longs per row instead of two dim-width float arrays (the arrays
+        # made the candidate shuffle ~dim× wider and dominated wall time);
+        # vectors re-attach AFTER dedup via two id equi-joins.
         buckets = (
-            base.select(
-                "id", "v",
-                F.explode(F.array(*srp_bucket_cols(F.col("v"), matrix)))
-                .alias("bucket"),
-            )
+            srp_bucket_table(base, matrix, n_tables, n_planes)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         if stop_threshold is not None:
@@ -307,19 +328,30 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
             buckets = buckets.join(
                 F.broadcast(sizes.where(F.col("n") > stop_threshold)),
                 "bucket", "left_anti")
-        a = buckets.select("bucket", F.col("id").alias("id_a"),
-                           F.col("v").alias("v_a"))
-        b = buckets.select("bucket", F.col("id").alias("id_b"),
-                           F.col("v").alias("v_b"))
-        pairs = (
+        a = buckets.select("bucket", F.col("id").alias("id_a"))
+        b = buckets.select("bucket", F.col("id").alias("id_b"))
+        cand = (
             a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "v_a", "v_b")
-            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b").distinct()
+        )
+        pairs = (
+            cand.join(base.select(F.col("id").alias("id_a"),
+                                  F.col("v").alias("v_a"),
+                                  F.col("nrm").alias("n_a")), "id_a")
+            .join(base.select(F.col("id").alias("id_b"),
+                              F.col("v").alias("v_b"),
+                              F.col("nrm").alias("n_b")), "id_b")
         )
     else:
-        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                        F.col("nrm").alias("n_a"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                        F.col("nrm").alias("n_b"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    cos = cosine_col(F.col("v_a"), F.col("v_b"))
+    dot = F.aggregate(F.zip_with(F.col("v_a"), F.col("v_b"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                 dot / (F.col("n_a") * F.col("n_b"))).otherwise(F.lit(0.0))
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")) \
                 .where(F.col("cosine") >= threshold)

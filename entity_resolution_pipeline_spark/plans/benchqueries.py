@@ -784,7 +784,7 @@ def q_embedding_near_dup_srp(spark, sf_dir):
     minus LSH recall loss (bounded ≥0.9 in tests/test_dedup_ann.py)."""
     from ..operators.dedup import embedding_near_duplicates
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
         emb, threshold=0.40, n_tables=SRP_TABLES, n_planes=SRP_PLANES,
         dim=SRP_DIM, seed=SRP_SEED)

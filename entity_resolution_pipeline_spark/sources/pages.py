@@ -172,7 +172,8 @@ def synth_pages_spark(spark: SparkSession, n_clusters: int = 400, seed: int = 42
     return out
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str, variants: int = 4) -> DataFrame:
+def pages_from_documents(spark: SparkSession, sf_dir: str, variants: int = 4,
+                         n_partitions: int | None = None) -> DataFrame:
     """Distributed pages corpus derived from testdata documents.
 
     Output columns: url, warc_ts, html, text, lang, true_cluster (= doc_id).
@@ -186,6 +187,12 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, variants: int = 4) ->
     assembly is concat(), so the corpus builder has zero Python.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if n_partitions:
+        # the testdata file is one tiny split; without this the whole
+        # corpus derivation (explode + per-token transforms) and every
+        # narrow consumer downstream runs on a single core. Real crawl
+        # input arrives pre-split — this restores that layout.
+        docs = docs.repartition(n_partitions)
     # salt every token with a per-doc suffix: the raw documents table has a
     # ~40-word vocabulary, which would make ALL documents near-duplicates of
     # each other (pathological mega-blocks, nothing to resolve); suffixing
