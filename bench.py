@@ -82,6 +82,7 @@ def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
         t0 = time.perf_counter()
         salted = stage_blocks(extracted, cfg, n_docs=n_pages)
         salted.write.mode("overwrite").parquet(f"{tmp}/blocks")
+        release_persisted(salted)
         salted = spark.read.parquet(f"{tmp}/blocks")
         times["blocks"] = time.perf_counter() - t0
 

@@ -97,7 +97,18 @@ def salted_blocking_table(
     similarity signal and would contribute O(n²) pairs — dropped, exactly as
     the reference excludes over-frequent rare-token buckets
     (src/blocking.py:169). ``stop_threshold`` is the absolute ceiling.
+
+    The input ``blocks`` plan is persisted here: it feeds BOTH the key-stats
+    aggregate and the main join, and the blocking projection (tokenize +
+    fingerprint + n_bands MinHash folds + explode) is the dominant per-row
+    cost — unpersisted it executes twice (the same recompute anti-pattern
+    that made round-1 `dedup_lsh_pairs` 46% of the bench suite). The cache
+    is attached to the result as ``_erps_persisted`` for
+    ``operators.scoring.release_persisted`` once the caller materializes.
     """
+    from pyspark import StorageLevel
+
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
     eff_stop = stop_threshold
     if n_docs is not None:
         # floor at 4×hot so tiny corpora never stop-drop their (still
@@ -126,4 +137,6 @@ def salted_blocking_table(
         ).alias("join_key"),
         "block_key", "source", "url",
     )
-    return cold.unionByName(hot)
+    out = cold.unionByName(hot)
+    out._erps_persisted = blocks  # released by release_persisted() post-write
+    return out

@@ -23,7 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+    ArrayType, BinaryType, DoubleType, LongType, StringType, StructField,
+    StructType,
 )
 
 MEDIA_META_SCHEMA = StructType([
@@ -102,6 +103,87 @@ def decode_media(media: DataFrame, fake: bool = False, dim: int = 8) -> DataFram
 
     cols = media.select("media_id", "kind", "payload")
     return cols.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("kind", StringType(), False),
+    StructField("width", LongType(), False),
+    StructField("height", LongType(), False),
+    StructField("payload", BinaryType(), False),
+])
+
+
+def resize_media(media: DataFrame, width: int = 16, height: int = 16,
+                 fake: bool = False) -> DataFrame:
+    """Image resize plumbing: payload → fixed-(width×height) payload.
+
+    Real deployment: PIL/opencv decode-resize-encode inside the iterator
+    (init once per worker). STUB here — ``fake=True`` center-crops/zero-pads
+    the raw bytes to width×height so batch shape, schema, and output sizing
+    are exercised deterministically.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "call with fake=True for the deterministic stand-in")
+    target = width * height
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pay = pdf["payload"].map(
+                lambda p: (p or b"")[:target].ljust(target, b"\0"))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "kind": pdf["kind"],
+                "width": width, "height": height, "payload": pay,
+            })
+
+    return media.select("media_id", "kind", "payload") \
+        .mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("frame", BinaryType(), False),
+])
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256, every_n: int = 2,
+                  max_frames: int = 4, fake: bool = False) -> DataFrame:
+    """Video frame sampling plumbing: payload → one row per sampled frame
+    (the 1→N mapInPandas shape a real ffmpeg/pyav sampler uses).
+
+    STUB: ``fake=True`` treats consecutive ``frame_bytes`` chunks as
+    "frames" and emits every ``every_n``-th, at most ``max_frames`` — fully
+    deterministic, so the distributed row-expansion is oracle-checkable
+    (battery `media_frames` reproduces it with SQL substring arithmetic).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video codecs are not available in this environment; "
+            "call with fake=True for the deterministic stand-in")
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p or b""
+                n_chunks = (len(p) + frame_bytes - 1) // frame_bytes
+                emitted = 0
+                for c in range(0, n_chunks, every_n):
+                    if emitted >= max_frames:
+                        break
+                    ids.append(mid)
+                    idxs.append(c)
+                    frames.append(p[c * frame_bytes:(c + 1) * frame_bytes])
+                    emitted += 1
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "frame": frames})
+
+    return media.where(F.col("kind") == "video") \
+        .select("media_id", "payload") \
+        .mapInPandas(frame_batches, schema=FRAMES_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

@@ -122,10 +122,6 @@ def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
     ``jw_fingerprint`` column carries the computed JW for warm-band pairs
     and NULL for cold ones, so downstream code can detect partial scoring
     (``apply_gbt`` refuses NULL features by construction).
-
-    The persisted intermediate is released via :func:`release_persisted`
-    once the caller has materialized the result (pipeline stages write to
-    parquet, so the cache is single-use).
     """
     a = attrs.select(
         F.col("url").alias("_ua"),
@@ -158,27 +154,30 @@ def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
         + 0.05 * F.col("domain_exact")
     )
     feat = feat.withColumn("p_base", base)
-    # persist: both branches below scan `feat`; without it the whole
-    # join+feature plan executes twice (observed 2× scoring cost at sf0.1)
-    from pyspark import StorageLevel
-
-    feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE pass, no persist/union: the JW pandas UDF receives NULLed inputs
+    # for cold rows (outside the borderline band). Python UDFs in a `when`
+    # branch are still extracted and evaluated batch-wide (ExtractPythonUDFs
+    # cannot short-circuit), so the null-out is what keeps cold rows cheap:
+    # fillna('') → the 0.0 fast path, and the Arrow transfer ships nulls.
+    # The round-1 design split cold/warm into two scans over a persisted
+    # intermediate — a full-frame cache write + double scan that dominated
+    # the stage once features went native.
     lo, hi = threshold - JW_WEIGHT, threshold
-    cold = feat.where(~F.col("p_base").between(lo, hi)) \
-        .withColumn("jw_fingerprint", F.lit(None).cast("double")) \
-        .withColumn("p_match", F.round(F.col("p_base"), 6))
-    warm = feat.where(F.col("p_base").between(lo, hi)) \
-        .withColumn("jw_fingerprint",
-                    jaro_winkler_udf(F.col("fp_head_a"), F.col("fp_head_b"))) \
-        .withColumn("p_match",
-                    F.round(F.col("p_base")
-                            + JW_WEIGHT * F.col("jw_fingerprint"), 6))
+    in_band = F.col("p_base").between(lo, hi)
+    jw = jaro_winkler_udf(F.when(in_band, F.col("fp_head_a")),
+                          F.when(in_band, F.col("fp_head_b")))
     keep = ["url_a", "url_b", "blocking_score", "token_jaccard",
             "jw_fingerprint", "lev_ratio_prefix", "domain_exact",
             "prefix_match", "size_ratio", "p_match"]
-    out = cold.select(*keep).unionByName(warm.select(*keep))
-    out._erps_persisted = feat  # released by release_persisted() post-write
-    return out
+    return (
+        feat.withColumn("jw_fingerprint", F.when(in_band, jw))
+        .withColumn(
+            "p_match",
+            F.round(F.col("p_base")
+                    + F.coalesce(JW_WEIGHT * F.col("jw_fingerprint"),
+                                 F.lit(0.0)), 6))
+        .select(*keep)
+    )
 
 
 def release_persisted(df: DataFrame) -> None:

@@ -957,6 +957,37 @@ def q_media_decode(spark, sf_dir):
                         F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling (1→N mapInPandas row expansion) with the
+    deterministic chunk stub: every 2nd 256-byte chunk, max 4 frames per
+    video. The fake sampler is pure byte arithmetic, so the distributed
+    expansion IS oracle-checkable (SQL substring over the blob)."""
+    from ..operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(media_table(docs), frame_bytes=256, every_n=2,
+                         max_frames=4, fake=True)
+
+
+ORACLE_MEDIA_FRAMES = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         encode(coalesce(text, '')) AS payload
+  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+), c AS (
+  SELECT media_id, payload,
+         CAST(ceil(octet_length(payload) / 256.0) AS BIGINT) AS n_chunks
+  FROM m
+)
+SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+       -- DuckDB 1.0 has no BLOB substring; slice via hex roundtrip
+       -- (2 hex chars per byte: offset i*256 bytes = i*512 chars)
+       unhex(substring(to_hex(payload), CAST(i AS BIGINT) * 512 + 1, 512)) AS frame
+FROM c CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS i) s
+WHERE i < n_chunks
+"""
+
+
 # =============================================================================
 # Temporal compat (F8) + investor guardrails (D6)
 # =============================================================================
@@ -1758,6 +1789,43 @@ GROUP BY c.c_nationkey
 """
 
 
+def q_stream_windowed_counts(spark, sf_dir):
+    """Watermarked event-time window aggregation, run as a real Structured
+    Streaming query (S5 depth: withWatermark + groupBy(window) + availableNow
+    drain; streaming/analytics.py). The drained result equals the batch
+    hourly rollup, which is the oracle."""
+    import uuid
+
+    from ..streaming.analytics import stream_windowed_event_stats
+
+    return stream_windowed_event_stats(
+        spark, f"{sf_dir}/events.parquet",
+        query_name=f"winstats_{uuid.uuid4().hex[:8]}")
+
+
+ORACLE_STREAM_WINDOWED_COUNTS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Stateful streaming sessionization via applyInPandasWithState
+    (streaming/analytics.py): per-user (last_ts, session counter) state,
+    Arrow-batched. Drained availableNow over the backlog it reproduces the
+    batch lag-window sessionizer — same oracle as `events_sessionize`."""
+    import uuid
+
+    from ..streaming.analytics import stream_sessionize_stateful
+
+    return stream_sessionize_stateful(
+        spark, f"{sf_dir}/events.parquet",
+        query_name=f"sess_{uuid.uuid4().hex[:8]}")
+
+
 # =============================================================================
 # Registry
 # =============================================================================
@@ -1801,6 +1869,7 @@ QUERIES = {
     # multimodal
     "media_stats": q_media_stats,
     "media_decode": q_media_decode,
+    "media_frames": q_media_frames,
     # geo / dates / alias / labeling / decisioning widening
     "geo_parse": q_geo_parse,
     "flexible_dates": q_flexible_dates,
@@ -1820,6 +1889,9 @@ QUERIES = {
     # legal-name processing (P4/P20)
     "legal_suffix_strip": q_legal_suffix_strip,
     "prose_legal_name": q_prose_legal_name,
+    # structured streaming (watermarked window agg, stateful sessionize)
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_sessionize": q_stream_sessionize,
     # flagship end-to-end pipeline vs planted-partition oracle
     "er_pipeline_clusters": q_er_pipeline_clusters,
 }
@@ -1856,6 +1928,7 @@ ORACLE_SQL = {
     "connected_components": ORACLE_CONNECTED_COMPONENTS,
     "media_stats": ORACLE_MEDIA_STATS,
     # media_decode: rows-only (mapInPandas stub, not SQL-expressible)
+    "media_frames": ORACLE_MEDIA_FRAMES,
     "geo_parse": _oracle_geo_parse(),
     "flexible_dates": ORACLE_FLEXIBLE_DATES,
     "alias_rebrand": _oracle_alias_rebrand(),
@@ -1871,5 +1944,7 @@ ORACLE_SQL = {
     "family_expand": ORACLE_FAMILY_EXPAND,
     "legal_suffix_strip": _oracle_legal_suffix_strip(),
     "prose_legal_name": _oracle_prose_legal_name(),
+    "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
+    "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

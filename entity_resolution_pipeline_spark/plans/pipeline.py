@@ -62,12 +62,14 @@ def stage_blocks(extracted: DataFrame, cfg: PipelineConfig,
         stop_threshold=cfg.stop_threshold, n_salts=cfg.n_salts,
         n_docs=n_docs, stop_frac=cfg.stop_frac)
     if cfg.repartition_blocks:
-        salted = salted.repartition(cfg.repartition_blocks, "join_key")
+        repartitioned = salted.repartition(cfg.repartition_blocks, "join_key")
+        repartitioned._erps_persisted = getattr(salted, "_erps_persisted", None)
+        salted = repartitioned
     return salted
 
 
 def stage_pairs(salted: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    return candidate_pairs(salted, top_n=cfg.top_n)
+    return candidate_pairs(salted, top_n=cfg.top_n, n_salts=cfg.n_salts)
 
 
 def stage_attrs(extracted: DataFrame) -> DataFrame:
@@ -130,6 +132,7 @@ def run_pipeline(
     if not committed("blocks"):
         salted = stage_blocks(extracted, cfg, n_docs=n_docs)
         io.write("blocks", salted, meta={"stage": "blocks"})
+        release_persisted(salted)
         stats = key_stats(io.read("blocks").select(F.col("block_key"), "url"))
         summ = stats.agg(
             F.count("*").alias("n_keys"), F.max("block_size").alias("max_block"),

@@ -80,8 +80,10 @@ def test_salting_loses_no_pairs(spark, fixtures):
     blocks = _blocks(spark, fixtures)
     unsalted = salted_blocking_table(blocks, hot_threshold=10**9, n_salts=1)
     salted = salted_blocking_table(blocks, hot_threshold=8, n_salts=5)
-    p_un = candidate_pairs(unsalted, top_n=None).select("url_a", "url_b", "blocking_score")
-    p_sa = candidate_pairs(salted, top_n=None).select("url_a", "url_b", "blocking_score")
+    p_un = candidate_pairs(unsalted, top_n=None, n_salts=1) \
+        .select("url_a", "url_b", "blocking_score")
+    p_sa = candidate_pairs(salted, top_n=None, n_salts=5) \
+        .select("url_a", "url_b", "blocking_score")
     assert p_un.exceptAll(p_sa).count() == 0
     assert p_sa.exceptAll(p_un).count() == 0
 
@@ -89,6 +91,6 @@ def test_salting_loses_no_pairs(spark, fixtures):
 def test_pair_generation_is_ordered_and_deduped(spark, fixtures):
     blocks = _blocks(spark, fixtures)
     salted = salted_blocking_table(blocks, hot_threshold=16, n_salts=4)
-    pairs = candidate_pairs(salted, top_n=50)
+    pairs = candidate_pairs(salted, top_n=50, n_salts=4)
     assert pairs.where(F.col("url_a") >= F.col("url_b")).count() == 0
     assert pairs.groupBy("url_a", "url_b").count().where("count > 1").count() == 0

@@ -83,3 +83,33 @@ def test_media_decode_stub_contract(spark):
     assert by_id["m1"]["n_bytes"] == len(b"hello world")
     assert len(by_id["m1"]["feature"]) == 8
     assert abs(sum(by_id["m1"]["feature"]) - 1.0) < 1e-4  # normalized histogram
+
+
+def test_media_resize_stub_contract(spark):
+    from entity_resolution_pipeline_spark.operators.multimodal import resize_media
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "ab")], ["doc_id", "text"])
+    media = media_table(docs)
+    with pytest.raises(NotImplementedError):
+        resize_media(media, fake=False)
+    rows = {r["media_id"]: r for r in
+            resize_media(media, width=16, height=16, fake=True).collect()}
+    assert all(len(r["payload"]) == 256 for r in rows.values())  # crop + pad
+    assert rows["m1"]["payload"] == b"x" * 256
+    assert rows["m2"]["payload"] == b"ab" + b"\0" * 254
+
+
+def test_media_frame_sampling_stub(spark):
+    from entity_resolution_pipeline_spark.operators.multimodal import sample_frames
+
+    # doc_id 2 → kind 'video' (pmod(2,3)=2); 1200 bytes → 5 chunks of 256,
+    # every 2nd → frame_idx 0,2,4; doc_id 1 is audio → filtered out
+    docs = spark.createDataFrame(
+        [(1, "a" * 999), (2, "b" * 1200)], ["doc_id", "text"])
+    frames = sample_frames(media_table(docs), frame_bytes=256, every_n=2,
+                           max_frames=4, fake=True).collect()
+    assert {r["media_id"] for r in frames} == {"m2"}
+    assert sorted(r["frame_idx"] for r in frames) == [0, 2, 4]
+    last = next(r for r in frames if r["frame_idx"] == 4)
+    assert len(last["frame"]) == 1200 - 4 * 256  # tail chunk truncates

@@ -38,6 +38,42 @@ def test_streaming_extract_incremental(spark, fixtures, tmp_root):
     assert got2.count() == n_first + pages.count()
 
 
+def test_stream_windowed_counts_matches_batch(spark):
+    """Watermarked window agg drained availableNow == batch hourly rollup."""
+    from entity_resolution_pipeline_spark.streaming.analytics import (
+        stream_windowed_event_stats,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = stream_windowed_event_stats(spark, path, query_name="t_winstats")
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_stream_sessionize_stateful_matches_batch(spark):
+    """applyInPandasWithState sessionizer == batch lag-window sessionizer,
+    including state carried across micro-batches (two drains)."""
+    from entity_resolution_pipeline_spark.plans.benchqueries import (
+        q_events_sessionize,
+    )
+    from entity_resolution_pipeline_spark.streaming.analytics import (
+        stream_sessionize_stateful,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = stream_sessionize_stateful(spark, f"{sf_dir}/events.parquet",
+                                     query_name="t_sessions")
+    batch = q_events_sessionize(spark, sf_dir)
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+
+
 def test_csv_sink_roundtrip(spark, tmp_root):
     io = TableIO(spark, os.path.join(tmp_root, "csvio"))
     df = spark.createDataFrame(
