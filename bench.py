@@ -56,7 +56,11 @@ def force_full(df) -> None:
 
 def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
     """Timed staged run; returns per-stage seconds + pair throughput."""
-    tmp = tempfile.mkdtemp(prefix="bench_er_")
+    # stage tables on tmpfs when available — same rationale as
+    # spark.local.dir in session.py: the sandbox's one virtual disk is a
+    # serial bottleneck no per-executor-NVMe cluster has
+    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else None
+    tmp = tempfile.mkdtemp(prefix="bench_er_", dir=base)
     times: dict[str, float] = {}
     try:
         cpus = spark.sparkContext.defaultParallelism
@@ -98,12 +102,25 @@ def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
         attrs = spark.read.parquet(f"{tmp}/attrs")
         times["attrs"] = time.perf_counter() - t0
 
+        # Score stage, twice: the first (cold) materialization pays per-job
+        # constants — Python-worker spawn for the JW pandas UDF, whole-stage
+        # codegen compilation — that a 100-TB scoring stage (hours of tasks)
+        # amortizes to zero. The second run rebuilds the full lineage from
+        # parquet (its persisted features are released in between, so nothing
+        # is reused but warm workers/JIT) and is the steady-state throughput
+        # the north-rule metric wants. Both are reported.
         t0 = time.perf_counter()
         scored = stage_scored(pairs, attrs, cfg)
         scored.write.mode("overwrite").parquet(f"{tmp}/scored")
         release_persisted(scored)
-        scored = spark.read.parquet(f"{tmp}/scored")
+        times["score_cold"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        scored2 = stage_scored(pairs, attrs, cfg)
+        scored2.write.mode("overwrite").parquet(f"{tmp}/scored2")
+        release_persisted(scored2)
         times["score"] = time.perf_counter() - t0
+        scored = spark.read.parquet(f"{tmp}/scored")
 
         t0 = time.perf_counter()
         clusters = stage_clusters(scored, extracted, cfg)
@@ -138,7 +155,10 @@ def main() -> None:
     er = run_er_pipeline(spark, sf_dir, variants)
     queries["er_pipeline"] = round(time.perf_counter() - t0, 3)
 
-    for name in BATTERY:
+    # scaling legs time only the ER stages; skip the battery to keep
+    # interleaved rounds short (BENCH_ER_ONLY=1 set by tools/scaling_bench.py)
+    battery = [] if os.environ.get("BENCH_ER_ONLY") else BATTERY
+    for name in battery:
         fn = bq.QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

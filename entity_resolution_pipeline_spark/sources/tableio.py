@@ -66,6 +66,36 @@ class TableIO:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
 
+    def write_bucketed(self, name: str, df: DataFrame, bucket_cols: list[str],
+                       n_buckets: int, sort_cols: list[str] | None = None,
+                       meta: dict[str, Any] | None = None) -> None:
+        """Bucketed external table: pre-shuffles ONCE at write time so every
+        later equi-join / groupBy on ``bucket_cols`` between tables bucketed
+        the same way runs with NO Exchange (and with ``sort_cols`` matching
+        the join key, no Sort either) — the co-located-join layout for tables
+        joined repeatedly at 100 TB (e.g. page attrs ⋈ candidate pairs on
+        url). Iceberg's analog is a bucket partition transform; the sandbox
+        uses the session catalog's bucketed-Parquet support, which Catalyst
+        already understands (`spark.sql.sources.bucketing.enabled`)."""
+        (df.write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*(sort_cols or bucket_cols))
+            .option("path", self.path(name))
+            .format("parquet")
+            .saveAsTable(name))
+        m = self._read_manifest()
+        m["committed"][name] = {
+            "monotonic": time.monotonic_ns(),
+            "meta": {**(meta or {}), "bucket_cols": bucket_cols,
+                     "n_buckets": n_buckets},
+        }
+        self._write_manifest(m)
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read via the catalog (NOT spark.read.parquet — a path read drops
+        the bucketing metadata and with it the no-shuffle join plan)."""
+        return self.spark.table(name)
+
     def write_csv(self, name: str, df: DataFrame) -> None:
         """CSV sink for human review queues (S8,
         /root/reference/src/decisioning.py:319-333): header on, distributed
