@@ -32,7 +32,7 @@ from entity_resolution_pipeline_spark.plans.pipeline import (  # noqa: E402
     stage_pairs, stage_scored,
 )
 from entity_resolution_pipeline_spark.operators.scoring import (  # noqa: E402
-    release_persisted,
+    release_persisted, scoring_join_prefs,
 )
 from entity_resolution_pipeline_spark.session import get_spark  # noqa: E402
 from entity_resolution_pipeline_spark.sources.pages import pages_from_documents  # noqa: E402
@@ -54,7 +54,8 @@ def force_full(df) -> None:
     df.agg(F.bit_xor(F.xxhash64(*df.columns))).collect()
 
 
-def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
+def run_er_pipeline(spark, sf_dir: str, variants: int,
+                    cpus: int | None = None) -> dict:
     """Timed staged run; returns per-stage seconds + pair throughput."""
     # stage tables on tmpfs when available — same rationale as
     # spark.local.dir in session.py: the sandbox's one virtual disk is a
@@ -63,7 +64,9 @@ def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
     tmp = tempfile.mkdtemp(prefix="bench_er_", dir=base)
     times: dict[str, float] = {}
     try:
-        cpus = spark.sparkContext.defaultParallelism
+        # defaultParallelism is wrong on a standalone cluster until executors
+        # register; the caller knows the core quota it asked for
+        cpus = cpus or spark.sparkContext.defaultParallelism
         # n_partitions: the synthetic corpus derives from ONE tiny parquet
         # split, which would run derivation + extraction on one core at any
         # cluster size (observed: extract flat 8→32 in round 1). Real crawl
@@ -109,17 +112,18 @@ def run_er_pipeline(spark, sf_dir: str, variants: int) -> dict:
         # parquet (its persisted features are released in between, so nothing
         # is reused but warm workers/JIT) and is the steady-state throughput
         # the north-rule metric wants. Both are reported.
-        t0 = time.perf_counter()
-        scored = stage_scored(pairs, attrs, cfg)
-        scored.write.mode("overwrite").parquet(f"{tmp}/scored")
-        release_persisted(scored)
-        times["score_cold"] = time.perf_counter() - t0
+        with scoring_join_prefs(spark):
+            t0 = time.perf_counter()
+            scored = stage_scored(pairs, attrs, cfg)
+            scored.write.mode("overwrite").parquet(f"{tmp}/scored")
+            release_persisted(scored)
+            times["score_cold"] = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        scored2 = stage_scored(pairs, attrs, cfg)
-        scored2.write.mode("overwrite").parquet(f"{tmp}/scored2")
-        release_persisted(scored2)
-        times["score"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            scored2 = stage_scored(pairs, attrs, cfg)
+            scored2.write.mode("overwrite").parquet(f"{tmp}/scored2")
+            release_persisted(scored2)
+            times["score"] = time.perf_counter() - t0
         scored = spark.read.parquet(f"{tmp}/scored")
 
         t0 = time.perf_counter()
@@ -152,7 +156,7 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    er = run_er_pipeline(spark, sf_dir, variants)
+    er = run_er_pipeline(spark, sf_dir, variants, cpus=cpus)
     queries["er_pipeline"] = round(time.perf_counter() - t0, 3)
 
     # scaling legs time only the ER stages; skip the battery to keep

@@ -180,6 +180,29 @@ def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoring_join_prefs(spark):
+    """Scoring-path join tuning: prefer shuffled-hash over sort-merge while
+    the scorer runs. Its two pair⋈attrs equi-joins build small per-partition
+    hash maps from the attrs side and skip two full sorts of the
+    multi-million-row pair side (+16% scoring throughput measured at 16
+    cores, tools/score_probe.py). Scoped, not a session default: with the
+    raised 64 MB broadcast threshold, SHJ also becomes eligible for the
+    blocking stage's big self-join, where per-partition hash builds at low
+    partition counts OOMed the full pipeline — SMJ stays the default for
+    everything but scoring."""
+    key = "spark.sql.join.preferSortMergeJoin"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def release_persisted(df: DataFrame) -> None:
     """Unpersist the intermediate cache attached to a two-phase result.
 

@@ -157,8 +157,10 @@ def run_pipeline(
     attrs = io.read("attrs")
 
     if not committed("scored"):
-        scored = stage_scored(pairs, attrs, cfg)
-        io.write("scored", scored, meta={"stage": "scored"})
+        from ..operators.scoring import scoring_join_prefs
+        with scoring_join_prefs(spark):
+            scored = stage_scored(pairs, attrs, cfg)
+            io.write("scored", scored, meta={"stage": "scored"})
         release_persisted(scored)
         io.append_audit([{
             "stage": "scored",

@@ -26,7 +26,15 @@ def get_spark(
     ``spark-defaults``; everything downstream only touches the SparkSession
     interface.
     """
-    master = f"local[{cores}]" if cores else os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    env_master = os.environ.get("SPARK_GRAFT_MASTER", "")
+    if env_master.startswith("spark://"):
+        # Standalone cluster (tools/scaling_bench.py cluster mode, or a real
+        # deployment): ``cores`` becomes the app's total core quota
+        # (spark.cores.max) instead of a local[k] thread count, so the same
+        # bench entrypoint drives both execution models.
+        master = env_master
+    else:
+        master = f"local[{cores}]" if cores else (env_master or "local[*]")
     n = cores or os.cpu_count() or 8
     # Shuffle/spill scratch: prefer RAM-backed /dev/shm over the sandbox's
     # single shared virtual disk — one vda device serializes every
@@ -52,6 +60,22 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    if master.startswith("spark://"):
+        import sys
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder
+            .config("spark.cores.max", str(n))
+            .config("spark.executor.cores",
+                    os.environ.get("SPARK_GRAFT_EXEC_CORES", "8"))
+            .config("spark.executor.memory",
+                    os.environ.get("SPARK_GRAFT_EXEC_MEM", "10g"))
+            # spark-submit --py-files analog for the sandbox cluster: the
+            # package is importable on executors via PYTHONPATH, and the
+            # executors' Python is pinned to the driver's interpreter
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+            .config("spark.pyspark.python", sys.executable)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -19,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DRIVER_SCRIPT = """
 import os, sys
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, __REPO__)
 from entity_resolution_pipeline_spark.session import get_spark
 from entity_resolution_pipeline_spark.plans.pipeline import (
     PipelineConfig, stage_attrs, stage_blocks, stage_clusters, stage_extract,
@@ -78,7 +78,7 @@ def test_pipeline_on_standalone_cluster(tmp_path):
                    SPARK_GRAFT_EXEC_MEM="2g",
                    SPARK_GRAFT_DRIVER_MEM="2g")
         out = subprocess.run(
-            [sys.executable, "-c", DRIVER_SCRIPT.format(repo=REPO)],
+            [sys.executable, "-c", DRIVER_SCRIPT.replace("__REPO__", repr(REPO))],
             env=env, capture_output=True, text=True, timeout=420, cwd=REPO,
         )
         assert "CLUSTER_E2E_OK" in out.stdout, \
