@@ -67,14 +67,18 @@ def media_table(docs: DataFrame, id_col: str = "doc_id",
 
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in feature: normalized byte histogram over
-    ``dim`` buckets. NOT a real decoder — exists to exercise batch shape."""
+    ``dim`` buckets. NOT a real decoder — exists to exercise batch shape.
+
+    Raw IEEE division (no rounding): count/len is correctly rounded in
+    every engine, so an external SQL oracle reproduces the doubles
+    bit-for-bit (DuckDB check in battery ``media_decode``)."""
     if not payload:
         return [0.0] * dim
     counts = [0] * dim
     for b in payload:
         counts[b % dim] += 1
     n = float(len(payload))
-    return [round(c / n, 6) for c in counts]
+    return [c / n for c in counts]
 
 
 def decode_media(media: DataFrame, fake: bool = False, dim: int = 8) -> DataFrame:

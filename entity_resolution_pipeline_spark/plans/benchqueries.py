@@ -949,12 +949,56 @@ FROM m GROUP BY kind
 
 def q_media_decode(spark, sf_dir):
     """mapInPandas decode plumbing with the deterministic fake codec —
-    returns per-item byte-histogram features (rows-only check: the decode
-    stub is not SQL-expressible, and a real codec would replace it)."""
+    per-item byte-histogram features. Oracle-checkable because the stub's
+    count/len ratios are plain IEEE divisions that DuckDB reproduces
+    bit-for-bit from a hex-digit byte extraction (byte % 8 is a function
+    of the low hex digit alone)."""
     docs = _t(spark, sf_dir, "documents")
     feats = decode_media(media_table(docs), fake=True, dim=8)
     return feats.select("media_id", "kind", "n_bytes",
-                        F.round(F.element_at("feature", 1), 6).alias("f0"))
+                        F.element_at("feature", 1).alias("f0"),
+                        F.element_at("feature", 4).alias("f3"),
+                        F.element_at("feature", 8).alias("f7"))
+
+
+ORACLE_MEDIA_DECODE = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         encode(coalesce(text, '')) AS payload
+  FROM documents
+), h AS (
+  SELECT media_id, kind, octet_length(payload) AS n,
+         upper(to_hex(payload)) AS hx
+  FROM m
+), b AS (
+  -- byte j's hex pair sits at chars (2j-1, 2j); byte %% 8 depends only on
+  -- the LOW hex digit (16 = 0 mod 8), so one substring per byte suffices
+  SELECT media_id, hx,
+         unnest(generate_series(1, CAST(n AS BIGINT))) AS i
+  FROM h
+), d AS (
+  SELECT media_id,
+         (strpos('0123456789ABCDEF', substring(hx, CAST(i * 2 AS INT), 1)) - 1) % 8
+           AS bucket
+  FROM b
+), c AS (
+  SELECT media_id,
+         SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS c3,
+         SUM(CASE WHEN bucket = 7 THEN 1 ELSE 0 END) AS c7
+  FROM d GROUP BY media_id
+)
+SELECT h.media_id, h.kind, CAST(h.n AS BIGINT) AS n_bytes,
+       CASE WHEN h.n = 0 THEN 0.0
+            ELSE CAST(coalesce(c.c0, 0) AS DOUBLE) / CAST(h.n AS DOUBLE) END AS f0,
+       CASE WHEN h.n = 0 THEN 0.0
+            ELSE CAST(coalesce(c.c3, 0) AS DOUBLE) / CAST(h.n AS DOUBLE) END AS f3,
+       CASE WHEN h.n = 0 THEN 0.0
+            ELSE CAST(coalesce(c.c7, 0) AS DOUBLE) / CAST(h.n AS DOUBLE) END AS f7
+FROM h LEFT JOIN c USING (media_id)
+"""
 
 
 def q_media_frames(spark, sf_dir):
@@ -1927,7 +1971,7 @@ ORACLE_SQL = {
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "connected_components": ORACLE_CONNECTED_COMPONENTS,
     "media_stats": ORACLE_MEDIA_STATS,
-    # media_decode: rows-only (mapInPandas stub, not SQL-expressible)
+    "media_decode": ORACLE_MEDIA_DECODE,
     "media_frames": ORACLE_MEDIA_FRAMES,
     "geo_parse": _oracle_geo_parse(),
     "flexible_dates": ORACLE_FLEXIBLE_DATES,
