@@ -73,11 +73,13 @@ def run_er_pipeline(spark, sf_dir: str, variants: int,
         # input arrives in thousands of splits; this restores that layout.
         pages = pages_from_documents(spark, sf_dir, variants=variants,
                                      n_partitions=cpus).drop("true_cluster")
-        # top_n=20: bench clusters are ≤16 variants, so 20 keeps full recall
-        # while shutting out same-domain junk pairs (the reference's 300 cap
-        # serves 16M candidates per query-set; per-entity scale differs)
-        cfg = PipelineConfig(n_bands=8, top_n=20, repartition_blocks=None,
-                             two_phase_scoring=True)
+        # top_n: the PRODUCTION default (300, PipelineConfig) — the bench
+        # must grade the cap story at the shipped cap, not a fixture-tuned
+        # one. Overridable for experiments via BENCH_TOP_N.
+        top_n = int(os.environ.get("BENCH_TOP_N", "0")) or None
+        cfg = PipelineConfig(n_bands=8, repartition_blocks=None,
+                             two_phase_scoring=True,
+                             **({"top_n": top_n} if top_n else {}))
 
         t0 = time.perf_counter()
         extracted = stage_extract(pages)

@@ -29,7 +29,7 @@ from ..functions.similarity import (
 
 FEATURE_COLS = [
     "token_jaccard", "jw_fingerprint", "lev_ratio_prefix",
-    "domain_exact", "prefix_match", "size_ratio",
+    "domain_exact", "prefix_match", "size_ratio", "num_conflict",
 ]
 
 # acronym equality (F5) rides along in compute_features; it is not in the
@@ -60,10 +60,20 @@ def page_attrs(pages: DataFrame, jw_cap: int = 48,
         F.transform(toks, lambda t: F.xxhash64(t))))
     from ..functions.normalize import acronym_col
 
+    # digit-bearing tokens are high-information identifiers (ids, years,
+    # street/phone numbers): their own bottom-k sketch feeds the
+    # numeric-conflict feature — Jaro-Winkler famously scores "acme 305"
+    # vs "acme 368" ≈ 0.91, and a disjoint-numerics penalty is the classic
+    # counter (cf. the reference's year-compat step, src/features.py:267-299)
+    num_hashed = F.array_sort(F.array_distinct(F.transform(
+        F.filter(toks, lambda t: t.rlike("[0-9]")),
+        lambda t: F.xxhash64(t))))
+
     return pages.select(
         "url",
         F.slice(hashed, 1, sketch_k).alias("toks"),
         F.size(hashed).alias("n_toks"),
+        F.slice(num_hashed, 1, 32).alias("nums"),
         fingerprint_col(F.col("text_norm"), 2).alias("fp"),
         etld1_col(F.col("url")).alias("dom"),
         F.substring(acronym_col(F.col("text_norm")), 1, 16).alias("acro"),
@@ -99,7 +109,19 @@ def compute_features(pairs: DataFrame, attrs: DataFrame) -> DataFrame:
                ).otherwise(F.lit(0.0)).alias("size_ratio"),
         ((F.col("acro_a") == F.col("acro_b")) & (F.length("acro_a") >= 2))
         .cast("double").alias("acronym_match"),
+        _num_conflict_col().alias("num_conflict"),
     )
+
+
+def _num_conflict_col():
+    """1.0 when both sides carry digit-bearing tokens and their sketches
+    are disjoint — negative evidence (id/year/number mismatch). Bottom-k
+    sketches make this conservative: a shared numeric token fires only if
+    it ranks in both bottom-32s, so near-identical sets never conflict."""
+    return F.when(
+        (F.size("nums_a") > 0) & (F.size("nums_b") > 0)
+        & (F.size(F.array_intersect("nums_a", "nums_b")) == 0),
+        F.lit(1.0)).otherwise(F.lit(0.0))
 
 
 def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
@@ -146,12 +168,14 @@ def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
         F.when(F.greatest(sz_a, sz_b) > 0,
                F.least(sz_a, sz_b) / F.greatest(sz_a, sz_b)
                ).otherwise(F.lit(0.0)).alias("size_ratio"),
+        _num_conflict_col().alias("num_conflict"),
     )
     base = (
         0.55 * F.col("token_jaccard")
         + 0.10 * F.col("lev_ratio_prefix")
         + 0.10 * F.col("prefix_match")
         + 0.05 * F.col("domain_exact")
+        - NUM_CONFLICT_WEIGHT * F.col("num_conflict")
     )
     feat = feat.withColumn("p_base", base)
     # ONE pass, no persist/union: the JW pandas UDF receives NULLed inputs
@@ -168,7 +192,7 @@ def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
                           F.when(in_band, F.col("fp_head_b")))
     keep = ["url_a", "url_b", "blocking_score", "token_jaccard",
             "jw_fingerprint", "lev_ratio_prefix", "domain_exact",
-            "prefix_match", "size_ratio", "p_match"]
+            "prefix_match", "size_ratio", "num_conflict", "p_match"]
     return (
         feat.withColumn("jw_fingerprint", F.when(in_band, jw))
         .withColumn(
@@ -216,14 +240,17 @@ def release_persisted(df: DataFrame) -> None:
 
 
 JW_WEIGHT = 0.20
+NUM_CONFLICT_WEIGHT = 0.08
 
 
 def heuristic_score(features: DataFrame) -> DataFrame:
-    """Deterministic calibrated blend in [0,1] — model-free scorer.
+    """Deterministic calibrated blend — model-free scorer.
 
     Token-Jaccard dominates (it is reorder/diacritic-noise invariant under
     the canonical extractor); JW and prefix act as confirmations; domain
-    equality is a weak prior (mirrors are common in web dup clusters).
+    equality is a weak prior (mirrors are common in web dup clusters);
+    disjoint numeric tokens are negative evidence (JW alone scores
+    digit-suffixed near-identical names ~0.9).
     """
     s = (
         0.55 * F.col("token_jaccard")
@@ -231,6 +258,7 @@ def heuristic_score(features: DataFrame) -> DataFrame:
         + 0.10 * F.col("lev_ratio_prefix")
         + 0.10 * F.col("prefix_match")
         + 0.05 * F.col("domain_exact")
+        - NUM_CONFLICT_WEIGHT * F.col("num_conflict")
     )
     return features.withColumn("p_match", F.round(s, 6))
 

@@ -81,7 +81,8 @@ def test_holdout_report_and_ablation(spark, scored_labeled):
     labeled = scored.drop("p_match")
     runs = run_feature_ablation(labeled, labeled, threshold=0.5, seed=42)
     assert runs[0]["dropped"] == "none" and runs[0]["delta_f1"] == 0.0
-    assert len(runs) == 7  # full + one per feature
+    from entity_resolution_pipeline_spark.operators.scoring import FEATURE_COLS
+    assert len(runs) == len(FEATURE_COLS) + 1  # full + one per feature
     # dropping the dominant feature must not *improve* F1
     tj = next(r for r in runs if r["dropped"] == "token_jaccard")
     assert tj["delta_f1"] <= 0.0

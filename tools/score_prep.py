@@ -42,7 +42,8 @@ def main() -> None:
                       app_name="score-prep")
     spark.sparkContext.setLogLevel("ERROR")
     times: dict[str, float] = {}
-    cfg = PipelineConfig(n_bands=8, top_n=20, two_phase_scoring=True)
+    # production default cap (top_n=300) — same rationale as bench.py
+    cfg = PipelineConfig(n_bands=8, two_phase_scoring=True)
 
     pages = pages_from_documents(spark, sf_dir, variants=variants,
                                  n_partitions=cpus).drop("true_cluster")
