@@ -40,7 +40,8 @@ from entity_resolution_pipeline_spark.sources.pages import pages_from_documents 
 BATTERY = [
     "tpch_q1", "revenue_by_region", "top3_orders_per_customer",
     "running_revenue", "events_sessionize", "docs_fingerprint",
-    "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash", "ann_topk",
+    "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_canonical", "ann_topk",
     "embedding_near_dup_srp", "connected_components",
 ]
 
@@ -151,7 +152,12 @@ def main() -> None:
     variants = int(os.environ.get("BENCH_VARIANTS", "8"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    spark = get_spark(cores=cpus, shuffle_partitions=max(cpus, 8),
+    # shuffle-partition floor: the pair-aggregation stage's per-task hash
+    # tables need >=16 partitions at 64-variant corpus scale regardless of
+    # core count (8 partitions OOMed a local[4] full-pipeline leg);
+    # overridable so scaling legs can pin identical partitioning per width
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(cpus, 16)
+    spark = get_spark(cores=cpus, shuffle_partitions=shuffle,
                       app_name="er-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

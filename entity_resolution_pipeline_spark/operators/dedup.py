@@ -182,6 +182,43 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     return verified.where(F.col("jaccard") >= threshold)
 
 
+def fuzzy_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", k: int = 3, n_bands: int = 8,
+                threshold: float = 0.7,
+                stop_threshold: int | None = None) -> DataFrame:
+    """End-to-end fuzzy dedup: every row labeled (id, dup_group, is_keeper).
+
+    The capstone of the near-dup family — what a 100 TB training-data
+    pipeline actually runs: two-phase MinHash-LSH + exact-Jaccard edges
+    (:func:`minhash_near_duplicates`), transitive closure over the verified
+    edges (near-duplication is not transitive, but dedup groups must be —
+    A≈B≈C means keep one of {A,B,C}), then a deterministic min-id keeper
+    per group. Downstream keeps ``WHERE is_keeper``.
+
+    Ids travel as strings through the closure (url semantics of
+    operators/clustering.py), so group minima are lexicographic; singletons
+    are their own group and keeper. Cost = the two-phase near-dup (bucketed
+    band join, stop-key guarded) + CC rounds over the *verified edge set*,
+    which is tiny relative to the corpus — the same shape that clusters the
+    ER match edges.
+    """
+    from .clustering import assign_clusters
+
+    edges = minhash_near_duplicates(docs, id_col, text_col, k=k,
+                                    n_bands=n_bands, threshold=threshold,
+                                    stop_threshold=stop_threshold)
+    nodes = docs.select(F.col(id_col).cast("string").alias("url"))
+    labeled = assign_clusters(
+        nodes,
+        edges.select(F.col("id_a").cast("string").alias("src"),
+                     F.col("id_b").cast("string").alias("dst")))
+    return labeled.select(
+        F.col("url").alias("id"),
+        F.col("cluster_id").alias("dup_group"),
+        (F.col("cluster_id") == F.col("url")).alias("is_keeper"),
+    )
+
+
 # --- SimHash near-dup -------------------------------------------------------------
 
 

@@ -35,8 +35,8 @@ from ..functions.textstats import (
 )
 from ..operators.ann import brute_force_topk
 from ..operators.dedup import (
-    lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs, shingle_table,
-    simhash_table,
+    fuzzy_dedup, lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
+    shingle_table, simhash_table,
 )
 from ..operators.clustering import assign_clusters
 from ..operators.multimodal import decode_media, media_stats, media_table
@@ -699,6 +699,95 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM i
+"""
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """End-to-end fuzzy dedup: LSH candidates → exact-Jaccard verify →
+    transitive closure → min-id keeper. Every document labeled."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    out = fuzzy_dedup(docs, "doc_id", "text", k=3, n_bands=4,
+                      threshold=0.7, stop_threshold=LSH_STOP)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("dup_group").cast("bigint").alias("dup_group"),
+        "is_keeper",
+    )
+
+
+def _oracle_dedup_canonical(n_bands: int = 4, threshold: float = 0.7) -> str:
+    # group ids are LEXICOGRAPHIC minima (ids travel as strings through the
+    # closure, mirroring ORACLE_CONNECTED_COMPONENTS)
+    jacc_sql = _oracle_ngram_jaccard(n_bands)
+    return f"""
+WITH RECURSIVE ver AS (SELECT id_a, id_b FROM ({jacc_sql}) WHERE jaccard >= {threshold}),
+e AS (SELECT id_a AS src, id_b AS dst FROM ver
+      UNION SELECT id_b, id_a FROM ver),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src
+  WHERE r.a <> e2.dst
+), comp AS (
+  SELECT a AS doc_id,
+         MIN(least(CAST(a AS VARCHAR), CAST(b AS VARCHAR))) AS comp_str
+  FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.comp_str, CAST(d.doc_id AS VARCHAR)) AS BIGINT) AS dup_group,
+       coalesce(c.comp_str, CAST(d.doc_id AS VARCHAR)) = CAST(d.doc_id AS VARCHAR)
+         AS is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+CURATION_MIN_QUALITY = 0.4
+
+
+def q_corpus_curation(spark, sf_dir):
+    """The canonical training-data pipeline end-to-end: keep fuzzy-dedup
+    keepers that are predicted English above a quality floor, then report
+    per-source corpus stats (docs kept, token budget, mean quality).
+
+    Composition of three first-class operators — fuzzy_dedup (MinHash-LSH +
+    Jaccard verify + transitive closure), lang_id_col, quality_score_col —
+    exactly the filter→dedup→stats shape a 100 TB curation job runs.
+    """
+    docs = _t_wide(spark, sf_dir, "documents")
+    keepers = (
+        fuzzy_dedup(docs, "doc_id", "text", k=3, n_bands=4,
+                    threshold=0.7, stop_threshold=LSH_STOP)
+        .where("is_keeper")
+        .select(F.col("id").cast("bigint").alias("doc_id"))
+    )
+    curated = (
+        docs.join(keepers, "doc_id")
+        .withColumn("lang_pred", lang_id_col(F.col("text")))
+        .withColumn("quality", quality_score_col(F.col("text")))
+        .withColumn("n_bpe_ish", bpe_ish_token_count_col(F.col("text")))
+        .where((F.col("lang_pred") == "en")
+               & (F.col("quality") >= CURATION_MIN_QUALITY))
+    )
+    return curated.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe_ish").alias("n_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+def _oracle_corpus_curation() -> str:
+    return f"""
+WITH dedup AS ({_oracle_dedup_canonical(4, 0.7)}),
+lang AS ({_oracle_lang_id()}),
+qual AS ({ORACLE_DOCS_QUALITY})
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(q.n_bpe_ish) AS BIGINT) AS n_tokens,
+       round(AVG(q.quality), 4) AS avg_quality
+FROM documents d
+JOIN dedup dd ON d.doc_id = dd.doc_id AND dd.is_keeper
+JOIN lang l ON d.doc_id = l.doc_id AND l.lang_pred = 'en'
+JOIN qual q ON d.doc_id = q.doc_id AND q.quality >= {CURATION_MIN_QUALITY}
+GROUP BY d.source
 """
 
 
@@ -1903,6 +1992,8 @@ QUERIES = {
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_canonical": q_dedup_canonical,
+    "corpus_curation": q_corpus_curation,
     # embeddings
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1965,6 +2056,8 @@ ORACLE_SQL = {
     "dedup_lsh_pairs": _oracle_lsh_pairs(4),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(4),
     "dedup_simhash": _oracle_simhash(32),
+    "dedup_canonical": _oracle_dedup_canonical(4, 0.7),
+    "corpus_curation": _oracle_corpus_curation(),
     "ann_topk": ORACLE_ANN_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_srp": _oracle_embedding_near_dup_srp(),

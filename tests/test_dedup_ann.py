@@ -7,7 +7,7 @@ import pytest
 from entity_resolution_pipeline_spark.operators.ann import brute_force_topk, ivf_topk
 from entity_resolution_pipeline_spark.operators.dedup import (
     embedding_near_duplicates, exact_dedup, exact_duplicate_groups,
-    minhash_near_duplicates, simhash_near_duplicates,
+    fuzzy_dedup, minhash_near_duplicates, simhash_near_duplicates,
 )
 
 
@@ -42,6 +42,20 @@ def test_minhash_near_duplicates(spark, corpus):
     assert (0, 2) in pairs or (0, 1) in pairs  # near dups caught
     for a, b in pairs:                # no false positives vs unrelated docs
         assert a <= 3 and b <= 3
+
+
+def test_fuzzy_dedup_labels_every_row(spark, corpus):
+    out = fuzzy_dedup(corpus, n_bands=8, threshold=0.3)
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == corpus.count()          # every document labeled
+    # planted family {0,1,2,3} collapses transitively onto keeper "0"
+    family = {rows[str(i)].dup_group for i in range(4)}
+    assert family == {"0"}
+    assert rows["0"].is_keeper
+    assert not any(rows[str(i)].is_keeper for i in (1, 2, 3))
+    # unrelated docs are their own singleton keepers
+    for i in range(4, 24):
+        assert rows[str(i)].dup_group == str(i) and rows[str(i)].is_keeper
 
 
 def test_simhash_near_duplicates(spark, corpus):

@@ -162,9 +162,12 @@ def run_score_mode(sf_dir: str, variants: int) -> None:
         e2eN = e2e4N = None
         if do_e2e:
             try:
-                e2e4N = _run("bench.py", bench_env(four_n, sf_dir, variants),
+                # pin identical shuffle partitioning at both widths so the
+                # legs run the same physical plan at different parallelism
+                shuf = {"SPARK_GRAFT_SHUFFLE": "32"}
+                e2e4N = _run("bench.py", bench_env(four_n, sf_dir, variants, shuf),
                              f"e2e {four_n}")
-                e2eN = _run("bench.py", bench_env(n, sf_dir, variants),
+                e2eN = _run("bench.py", bench_env(n, sf_dir, variants, shuf),
                             f"e2e {n}")
             except Exception as exc:  # e2e is secondary — never lose the legs
                 print(f"e2e legs failed (secondary evidence skipped): {exc}",
@@ -179,6 +182,12 @@ def run_score_mode(sf_dir: str, variants: int) -> None:
     mN = statistics.median(sorted(legsN))
     m4N = statistics.median(sorted(legs4N))
     eff_med = (m4N / mN) / 4.0
+    # Paired estimator: each round runs both widths back-to-back, so the
+    # per-round ratio sees the same host conditions in numerator and
+    # denominator — robust to the >2× between-round CPU swings.
+    paired = [(b / a) / 4.0 for a, b in zip(legsN, legs4N)]
+    eff_paired_best = max(paired)
+    eff_paired_med = statistics.median(sorted(paired))
 
     e2e_block = ""
     eff_e2e = None
@@ -262,6 +271,8 @@ artifact into the ratio.
 
 **Scaling efficiency (pairs-scored/sec, {n}→{four_n} cores, best-of-{rounds} rounds): {eff:.3f}**  (target ≥ 0.8)
 Median-of-rounds efficiency (same metric): {eff_med:.3f}
+Paired per-round efficiency (both widths of a round share host
+conditions): {[round(v, 3) for v in paired]} — best {eff_paired_best:.3f}, median {eff_paired_med:.3f}
 {e2e_block}
 **Methodology investigation — saturation-matched alternatives** (all
 built, run at 320k pages / 5.36M pairs; tools kept in `tools/`):
@@ -284,6 +295,8 @@ Reference single-node anchor: ≈4.4k pairs/s (features stage,
     print(json.dumps({"pairs_per_sec_N": pN, "pairs_per_sec_4N": p4N,
                       "n": n, "efficiency": round(eff, 3),
                       "median_efficiency": round(eff_med, 3),
+                      "paired_best": round(eff_paired_best, 3),
+                      "paired_median": round(eff_paired_med, 3),
                       "e2e_efficiency": round(eff_e2e, 3) if eff_e2e else None,
                       "mode": "score"}))
 
