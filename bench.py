@@ -41,7 +41,7 @@ BATTERY = [
     "tpch_q1", "revenue_by_region", "top3_orders_per_customer",
     "running_revenue", "events_sessionize", "docs_fingerprint",
     "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_canonical", "ann_topk",
+    "dedup_canonical", "corpus_curation", "ann_topk",
     "embedding_near_dup_srp", "connected_components",
 ]
 

@@ -89,8 +89,15 @@ def salted_blocking_table(
 ) -> DataFrame:
     """Apply stop-key drop + triangular hot-key salting.
 
-    Output: (join_key, block_key, source, url) where join_key embeds the
-    salt-pair for hot keys. Cold keys pass through with join_key=block_key.
+    Output: (join_key, block_key, source, url, g, sp, sq) where join_key
+    embeds the salt-pair for hot keys and ``g``/``sp``/``sq`` carry the
+    member's own salt and the bucket's salt-pair as INTS (null on cold
+    rows, where join_key=block_key). Carrying them lets the pair
+    generator's canonical-bucket dedup filter compare three ints per
+    joined row instead of recomputing two xxhash64 salts and building a
+    concat'd key string per PAIR — at production scale that filter sees
+    ~10⁸ pre-agg rows, so the per-row expression cost is the stage's
+    constant factor.
 
     Stop keys: a key covering more than ``stop_frac`` of the corpus (e.g. a
     MinHash band whose minimum lands on a ubiquitous token) carries no
@@ -122,8 +129,10 @@ def salted_blocking_table(
                     "block_key", "left")
     b = b.where(F.coalesce(F.col("block_size"), F.lit(0)) < eff_stop)
 
+    null_int = F.lit(None).cast("int")
     cold = b.where(F.col("block_size").isNull()).select(
-        F.col("block_key").alias("join_key"), "block_key", "source", "url")
+        F.col("block_key").alias("join_key"), "block_key", "source", "url",
+        null_int.alias("g"), null_int.alias("sp"), null_int.alias("sq"))
 
     hot = b.where(F.col("block_size").isNotNull()) \
         .withColumn("g", salt_fast_col(F.col("url"), n_salts))
@@ -135,7 +144,9 @@ def salted_blocking_table(
             "#", "block_key",
             F.least("g", "p").cast("string"), F.greatest("g", "p").cast("string"),
         ).alias("join_key"),
-        "block_key", "source", "url",
+        "block_key", "source", "url", "g",
+        F.least("g", "p").cast("int").alias("sp"),
+        F.greatest("g", "p").cast("int").alias("sq"),
     )
     out = cold.unionByName(hot)
     out._erps_persisted = blocks  # released by release_persisted() post-write

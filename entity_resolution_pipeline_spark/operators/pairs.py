@@ -19,6 +19,19 @@ source weights instead of the round-1 ``collect_set(struct(block_key,
 source))`` — whose per-group object sets (tens of entries × ~50-byte keys
 × 10⁸ pre-agg rows at 64-member clusters) forced sort-based fallback and
 spill, flat-lining the stage from 8 to 32 cores.
+
+Two constant-factor rules enforced here, both measured at the 320k-page /
+75M-hit-row bench scale where this stage dominates end-to-end wall clock:
+
+* the canonical filter compares the INT salt columns carried by
+  ``salted_blocking_table`` (g/sp/sq) — recomputing xxhash64 salts and
+  building a concat'd key string per joined row costs ~2 hashes + a
+  string alloc × 10⁸;
+* the ``sources`` provenance string is an ordered concat of per-source
+  max-flags, not ``collect_set`` — set-aggregation buffers force
+  ObjectHashAggregate (sort-based fallback under pressure), while
+  sum+max aggregates keep the whole pair aggregation inside
+  whole-stage-codegen HashAggregate with map-side partial combine.
 """
 
 from __future__ import annotations
@@ -32,47 +45,78 @@ from ..functions.hashing import salt_fast_col
 
 def candidate_pairs(salted_blocks: DataFrame, top_n: int | None = 300,
                     n_salts: int = 8) -> DataFrame:
-    """(join_key, block_key, source, url) → (url_a, url_b, blocking_score, sources).
+    """(join_key, block_key, source, url[, g, sp, sq]) → (url_a, url_b,
+    blocking_score, sources).
 
     Each distinct shared key contributes its source weight exactly once
     (canonical-bucket filter above); a pair sharing many MinHash bands
     (strong similarity evidence) outranks pairs co-occurring only under one
-    weak mega-key, or top-N would starve true duplicates. ``n_salts`` must
-    match the value used by ``salted_blocking_table`` (the salt is
-    recomputed from the url, not carried through the table).
+    weak mega-key, or top-N would starve true duplicates. ``n_salts`` is
+    only used by the legacy fallback for tables without salt columns (it
+    must then match the value used by ``salted_blocking_table``).
 
     All score weights have ≤1 fractional bit (3.0 / 2.5 / 1.0), so the sum
     is exact in IEEE double regardless of aggregation order — the output is
     deterministic under any partitioning.
     """
+    has_salt_cols = {"g", "sp", "sq"} <= set(salted_blocks.columns)
     score_map = F.create_map(*[
         x for s, v in SOURCE_SCORES.items() for x in (F.lit(s), F.lit(v))
     ])
-    a = salted_blocks.select(
-        "join_key", "block_key", "source",
-        F.col("url").alias("url_a"),
-    )
-    b = salted_blocks.select(
-        "join_key",
-        F.col("url").alias("url_b"),
-    )
-    g_a = salt_fast_col(F.col("url_a"), n_salts)
-    g_b = salt_fast_col(F.col("url_b"), n_salts)
-    canonical = F.concat_ws(
-        "#", "block_key",
-        F.least(g_a, g_b).cast("string"), F.greatest(g_a, g_b).cast("string"))
+    a_cols = ["join_key", "block_key", "source", F.col("url").alias("url_a")]
+    b_cols = ["join_key", F.col("url").alias("url_b")]
+    if has_salt_cols:
+        a_cols += [F.col("g").alias("g_a"), "sp", "sq"]
+        b_cols += [F.col("g").alias("g_b")]
+    a = salted_blocks.select(*a_cols)
+    b = salted_blocks.select(*b_cols)
+
+    if has_salt_cols:
+        # cold rows: sp is null (single bucket, nothing to dedup); hot rows:
+        # keep only the canonical salt-pair bucket — three int comparisons
+        canonical_keep = F.col("sp").isNull() | (
+            (F.col("sp") == F.least("g_a", "g_b"))
+            & (F.col("sq") == F.greatest("g_a", "g_b")))
+    else:  # legacy tables (pre-salt-column parquet): recompute from urls
+        g_a = salt_fast_col(F.col("url_a"), n_salts)
+        g_b = salt_fast_col(F.col("url_b"), n_salts)
+        canonical = F.concat_ws(
+            "#", "block_key",
+            F.least(g_a, g_b).cast("string"),
+            F.greatest(g_a, g_b).cast("string"))
+        canonical_keep = ((F.col("join_key") == F.col("block_key"))
+                          | (F.col("join_key") == canonical))
+
+    sources_sorted = sorted(SOURCE_SCORES)
+    # shuffle_hash hint: the self-join sides have equal cardinality, and a
+    # blocks table big enough to matter can NEVER be broadcast at real scale
+    # — but a bench-scale corpus of templated urls parquet-compresses under
+    # autoBroadcastJoinThreshold, and the resulting BroadcastHashJoin is a
+    # scaling cliff: one serial 10⁷-entry HashedRelation build, every probe
+    # task contending for a multi-GB on-heap table (measured: enumeration
+    # 16.3s @ 4 cores → 14.0s @ 16, i.e. no scaling at all). The shuffled
+    # hash join partitions both sides on the salted join_key — per-task
+    # build ≈ |blocks|/partitions rows — and is the plan a 100-TB corpus
+    # would get anyway. Not sort-merge: the per-partition sort of the
+    # replicated hot-bucket rows costs more than the bounded hash build.
     pairs = (
-        a.join(b, "join_key")
+        a.join(b.hint("shuffle_hash"), "join_key")
         .where(F.col("url_a") < F.col("url_b"))
-        # cold rows: join_key == block_key (single bucket, nothing to dedup);
-        # hot rows: keep only the canonical salt-pair bucket
-        .where((F.col("join_key") == F.col("block_key"))
-               | (F.col("join_key") == canonical))
+        .where(canonical_keep)
         .groupBy("url_a", "url_b")
         .agg(
             F.sum(score_map[F.col("source")]).alias("blocking_score"),
-            F.array_join(F.array_sort(F.collect_set("source")), "|")
-            .alias("sources"),
+            *[F.max((F.col("source") == s).cast("int")).alias(f"_has_{s}")
+              for s in sources_sorted],
+        )
+        # concat_ws skips nulls; sources_sorted is alphabetical, so the
+        # result is byte-identical to array_join(array_sort(collect_set))
+        .select(
+            "url_a", "url_b", "blocking_score",
+            F.concat_ws("|", *[
+                F.when(F.col(f"_has_{s}") == 1, F.lit(s))
+                for s in sources_sorted
+            ]).alias("sources"),
         )
     )
     if top_n is not None:

@@ -60,30 +60,34 @@ def main() -> None:
     n_block_rows = salted.count()
     print(f"n_pages={n_pages} block_rows={n_block_rows}")
 
-    # (b) enumeration only: join + filters, count
-    a = salted.select("join_key", "block_key", "source",
-                      F.col("url").alias("url_a"))
-    b = salted.select("join_key", F.col("url").alias("url_b"))
-    g_a = salt_fast_col(F.col("url_a"), cfg.n_salts)
-    g_b = salt_fast_col(F.col("url_b"), cfg.n_salts)
-    canonical = F.concat_ws(
-        "#", "block_key",
-        F.least(g_a, g_b).cast("string"), F.greatest(g_a, g_b).cast("string"))
+    # (b) enumeration only: join + filters, count (int canonical filter —
+    # mirrors operators/pairs.py; legacy string variant removed with it)
+    a = salted.select("join_key", "source", F.col("url").alias("url_a"),
+                      F.col("g").alias("g_a"), "sp", "sq")
+    b = salted.select("join_key", F.col("url").alias("url_b"),
+                      F.col("g").alias("g_b"))
     hits = (a.join(b, "join_key")
             .where(F.col("url_a") < F.col("url_b"))
-            .where((F.col("join_key") == F.col("block_key"))
-                   | (F.col("join_key") == canonical)))
+            .where(F.col("sp").isNull()
+                   | ((F.col("sp") == F.least("g_a", "g_b"))
+                      & (F.col("sq") == F.greatest("g_a", "g_b")))))
     t0 = time.perf_counter()
     n_hits = hits.count()
     print(f"enumeration (join+filter count): {time.perf_counter()-t0:.1f}s "
           f"hit_rows={n_hits}")
 
-    # (c) + aggregation, no window
+    # (c) + aggregation, no window (max-flag sources — mirrors pairs.py)
     score_map = F.create_map(*[
         x for s, v in SOURCE_SCORES.items() for x in (F.lit(s), F.lit(v))])
+    srcs = sorted(SOURCE_SCORES)
     agg = hits.groupBy("url_a", "url_b").agg(
         F.sum(score_map[F.col("source")]).alias("blocking_score"),
-        F.array_join(F.array_sort(F.collect_set("source")), "|").alias("sources"))
+        *[F.max((F.col("source") == s).cast("int")).alias(f"_has_{s}")
+          for s in srcs],
+    ).select(
+        "url_a", "url_b", "blocking_score",
+        F.concat_ws("|", *[F.when(F.col(f"_has_{s}") == 1, F.lit(s))
+                           for s in srcs]).alias("sources"))
     t0 = time.perf_counter()
     agg.write.mode("overwrite").parquet(f"{tmp}/agg")
     print(f"agg (join+filter+groupBy+write): {time.perf_counter()-t0:.1f}s "
