@@ -227,10 +227,10 @@ def run_score_mode(sf_dir: str, variants: int) -> None:
         row4N = f"| {four_n} | " + " | ".join(
             f"{e2e4N['er']['stage_sec'][s]:.1f}" for s in stages) + f" | {e4N:.1f} |"
         e2e_block = f"""
-**Secondary: full-pipeline e2e at both widths** (per-stage MEDIAN of 3
-runs per width — single runs swing >2× per stage on this shared VM;
-includes corpus derivation, extraction, blocking, pair-gen, scoring ×2,
-clustering):
+**Secondary: full-pipeline e2e at both widths** (per-stage MEDIAN of
+{e2e_reps} runs per width — single runs swing >2× per stage on this
+shared VM; includes corpus derivation, extraction, blocking, pair-gen,
+scoring ×2, clustering):
 
 {hdr}
 {sep}
