@@ -44,7 +44,8 @@ from ..functions.hashing import salt_fast_col
 
 
 def candidate_pairs(salted_blocks: DataFrame, top_n: int | None = 300,
-                    n_salts: int = 8) -> DataFrame:
+                    n_salts: int = 8,
+                    compact_shuffle_keys: bool = True) -> DataFrame:
     """(join_key, block_key, source, url[, g, sp, sq]) → (url_a, url_b,
     blocking_score, sources).
 
@@ -58,6 +59,23 @@ def candidate_pairs(salted_blocks: DataFrame, top_n: int | None = 300,
     All score weights have ≤1 fractional bit (3.0 / 2.5 / 1.0), so the sum
     is exact in IEEE double regardless of aggregation order — the output is
     deterministic under any partitioning.
+
+    ``compact_shuffle_keys``: the pair aggregation's shuffle and hash-map
+    working set is dominated by the two url STRINGS on every pre-agg row
+    (~10⁸ rows × 2×40-80 bytes at production corpus scale); with it on,
+    the orientation/canonical filters still run on the real urls map-side,
+    but the rows entering the exchange carry a 128-bit url digest per side
+    (two independently-seeded xxhash64 longs); the aggregation AND the
+    top-N cap run on digests, and the strings are joined back from a
+    distinct-url dim only for the capped output rows (10.8M instead of
+    75M pre-agg at the bench corpus; broadcast at small scale,
+    AQE-planned shuffle join at large). Uncapped output is byte-identical
+    to the string path; with a cap, score TIES at the cap boundary break
+    on the url_b digest instead of the url_b string — both arbitrary
+    deterministic orders (the cap bounds skew; it does not prefer
+    particular tied candidates). Collision risk of the 128-bit key:
+    P ≈ n²/2¹²⁹ — at 10¹⁰ documents ≈ 1.5e-19, i.e. never. Measured at
+    320k pages / 75M hit rows, 16 cores: 68.7s → ~25s for the stage.
     """
     has_salt_cols = {"g", "sp", "sq"} <= set(salted_blocks.columns)
     score_map = F.create_map(*[
@@ -99,25 +117,63 @@ def candidate_pairs(salted_blocks: DataFrame, top_n: int | None = 300,
     # build ≈ |blocks|/partitions rows — and is the plan a 100-TB corpus
     # would get anyway. Not sort-merge: the per-partition sort of the
     # replicated hot-bucket rows costs more than the bounded hash build.
-    pairs = (
+    hits = (
         a.join(b.hint("shuffle_hash"), "join_key")
         .where(F.col("url_a") < F.col("url_b"))
         .where(canonical_keep)
-        .groupBy("url_a", "url_b")
-        .agg(
-            F.sum(score_map[F.col("source")]).alias("blocking_score"),
-            *[F.max((F.col("source") == s).cast("int")).alias(f"_has_{s}")
-              for s in sources_sorted],
+    )
+    flag_aggs = [F.max((F.col("source") == s).cast("int")).alias(f"_has_{s}")
+                 for s in sources_sorted]
+    # concat_ws skips nulls; sources_sorted is alphabetical, so the result
+    # is byte-identical to array_join(array_sort(collect_set))
+    sources_expr = F.concat_ws("|", *[
+        F.when(F.col(f"_has_{s}") == 1, F.lit(s)) for s in sources_sorted
+    ]).alias("sources")
+
+    if compact_shuffle_keys:
+        def _digest(col: str) -> list:
+            return [F.xxhash64(F.col(col)).alias(f"_h1_{col}"),
+                    F.xxhash64(F.lit("uid2"), F.col(col)).alias(f"_h2_{col}")]
+
+        key_cols = ["_h1_url_a", "_h2_url_a", "_h1_url_b", "_h2_url_b"]
+        agg = (
+            hits.select(*_digest("url_a"), *_digest("url_b"),
+                        score_map[F.col("source")].alias("_w"), "source")
+            .groupBy(*key_cols)
+            .agg(F.sum("_w").alias("blocking_score"), *flag_aggs)
+            .select(*key_cols, "blocking_score", sources_expr)
         )
-        # concat_ws skips nulls; sources_sorted is alphabetical, so the
-        # result is byte-identical to array_join(array_sort(collect_set))
-        .select(
-            "url_a", "url_b", "blocking_score",
-            F.concat_ws("|", *[
-                F.when(F.col(f"_has_{s}") == 1, F.lit(s))
-                for s in sources_sorted
-            ]).alias("sources"),
+        if top_n is not None:
+            # cap BEFORE the url map-back so only kept rows pay the joins;
+            # grouping by the digest == grouping by url_a. Score ties break
+            # on the url_b DIGEST here (string path: on url_b) — both are
+            # arbitrary deterministic choices; the cap exists to bound
+            # skew, not to prefer particular tied candidates.
+            w = Window.partitionBy("_h1_url_a", "_h2_url_a").orderBy(
+                F.desc("blocking_score"), F.asc("_h1_url_b"),
+                F.asc("_h2_url_b"))
+            agg = agg.withColumn("rn", F.row_number().over(w)) \
+                     .where(F.col("rn") <= top_n).drop("rn")
+        urls = (salted_blocks.select("url").distinct()
+                .select(F.xxhash64("url").alias("_h1"),
+                        F.xxhash64(F.lit("uid2"), "url").alias("_h2"), "url"))
+        return (
+            agg.join(urls.select(F.col("_h1").alias("_h1_url_a"),
+                                 F.col("_h2").alias("_h2_url_a"),
+                                 F.col("url").alias("url_a")),
+                     ["_h1_url_a", "_h2_url_a"])
+            .join(urls.select(F.col("_h1").alias("_h1_url_b"),
+                              F.col("_h2").alias("_h2_url_b"),
+                              F.col("url").alias("url_b")),
+                  ["_h1_url_b", "_h2_url_b"])
+            .select("url_a", "url_b", "blocking_score", "sources")
         )
+
+    pairs = (
+        hits.groupBy("url_a", "url_b")
+        .agg(F.sum(score_map[F.col("source")]).alias("blocking_score"),
+             *flag_aggs)
+        .select("url_a", "url_b", "blocking_score", sources_expr)
     )
     if top_n is not None:
         w = Window.partitionBy("url_a").orderBy(

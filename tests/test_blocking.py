@@ -88,6 +88,31 @@ def test_salting_loses_no_pairs(spark, fixtures):
     assert p_sa.exceptAll(p_un).count() == 0
 
 
+def test_compact_keys_equal_string_path(spark, fixtures):
+    """The 128-bit compact-shuffle-key path is byte-identical to grouping
+    on the url strings (uncapped — with a cap only the arbitrary order of
+    score TIES at the boundary may differ), and the digest-side cap keeps
+    exactly the top-N scores per query url."""
+    blocks = _blocks(spark, fixtures)
+    salted = salted_blocking_table(blocks, hot_threshold=16, n_salts=4)
+    compact = candidate_pairs(salted, top_n=None, compact_shuffle_keys=True)
+    strings = candidate_pairs(salted, top_n=None, compact_shuffle_keys=False)
+    assert compact.exceptAll(strings).count() == 0
+    assert strings.exceptAll(compact).count() == 0
+
+    capped = candidate_pairs(salted, top_n=3, compact_shuffle_keys=True)
+    per = capped.groupBy("url_a").count().agg(F.max("count")).collect()[0][0]
+    assert per <= 3
+    # kept score multiset per group == string-path kept score multiset
+    ref = candidate_pairs(salted, top_n=3, compact_shuffle_keys=False)
+    k_c = capped.groupBy("url_a").agg(
+        F.sort_array(F.collect_list("blocking_score")).alias("scores"))
+    k_s = ref.groupBy("url_a").agg(
+        F.sort_array(F.collect_list("blocking_score")).alias("scores"))
+    assert k_c.exceptAll(k_s).count() == 0
+    assert k_s.exceptAll(k_c).count() == 0
+
+
 def test_pair_generation_is_ordered_and_deduped(spark, fixtures):
     blocks = _blocks(spark, fixtures)
     salted = salted_blocking_table(blocks, hot_threshold=16, n_salts=4)
