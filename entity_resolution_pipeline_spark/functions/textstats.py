@@ -25,32 +25,82 @@ def _words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"[^a-z0-9']+"), lambda t: t != "")
 
 
+def _bind(value: Column, fn) -> Column:
+    """Evaluate ``value`` ONCE and pass it to ``fn`` as a bound lambda
+    variable. Higher-order-function lambdas are interpreted with no
+    common-subexpression elimination, so an expression referenced k times
+    executes k times — single-element transform is the binding idiom
+    (same reason minhash_sig_col is one fold, functions/hashing.py)."""
+    return F.transform(F.array(value), fn)[0]
+
+
+# token → bitmask of languages listing it as a stopword (tokens shared
+# across languages get multiple bits)
+def _stop_mask_map() -> Column:
+    masks: dict[str, int] = {}
+    for i, stops in enumerate(LANG_STOPWORDS.values()):
+        for s in stops:
+            masks[s] = masks.get(s, 0) | (1 << i)
+    return F.create_map(*[x for t, v in sorted(masks.items())
+                          for x in (F.lit(t), F.lit(v))])
+
+
+def _stop_hit_counts(text: Column, finish) -> Column:
+    """Per-language stopword-hit counts in ONE tokenization + ONE
+    traversal; ``finish(acc)`` receives the bound count array (index
+    order = LANG_STOPWORDS order). The round-1 shape — one
+    ``filter(w, isin(stops))`` per language — re-tokenized the text and
+    re-scanned the token array once per language (interpreted lambdas,
+    no CSE): measured 5-7× the work of this fold."""
+    m = _stop_mask_map()
+    n = len(LANG_STOPWORDS)
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    return F.aggregate(
+        _words(text),
+        F.array_repeat(F.lit(0).cast("long"), n),
+        # (mask >> i) & 1 via exact double arithmetic (mask < 2^5 « 2^53) —
+        # shiftright() takes a Python int, not a lambda-bound Column (same
+        # constraint simhash_col works around, functions/hashing.py)
+        lambda acc, t: _bind(
+            F.coalesce(m[t], F.lit(0)),
+            lambda mask: F.zip_with(
+                acc,
+                F.transform(idx, lambda i: F.pmod(
+                    F.floor(mask / F.pow(F.lit(2.0), i)).cast("long"),
+                    F.lit(2))),
+                lambda a, b: a + b)),
+        finish,
+    )
+
+
 def lang_scores_col(text: Column) -> Column:
-    """Struct of per-language stopword-hit counts."""
-    w = _words(text)
-    fields = []
-    for lang, stops in LANG_STOPWORDS.items():
-        hits = F.size(F.filter(w, lambda t: t.isin(stops)))
-        fields.append(hits.alias(lang))
-    return F.struct(*fields)
+    """Struct of per-language stopword-hit counts (ints)."""
+    counts = _stop_hit_counts(text, lambda acc: acc)
+    return _bind(counts, lambda c: F.struct(*[
+        c[i].cast("int").alias(lang) for i, lang in enumerate(LANG_STOPWORDS)
+    ]))
 
 
 def lang_id_col(text: Column) -> Column:
     """argmax language by stopword hits; 'und' (undetermined) when all zero.
 
-    Ties broken by fixed language order via strictly-decreasing epsilon
-    weights so the result is deterministic.
+    Ties break toward the earlier language in LANG_STOPWORDS order
+    (array_position returns the FIRST maximum), matching the round-1
+    strictly-decreasing-epsilon formulation.
     """
-    w = _words(text)
-    best_lang = F.lit("und")
-    best_score = F.lit(0).cast("double")
-    for rank, (lang, stops) in enumerate(LANG_STOPWORDS.items()):
-        score = F.size(F.filter(w, lambda t: t.isin(stops))).cast("double") \
-            - F.lit(rank * 1e-9)
-        better = score > best_score
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, score).otherwise(best_score)
-    return best_lang
+    langs = F.array(*[F.lit(lang) for lang in LANG_STOPWORDS])
+    idx0 = F.sequence(F.lit(0), F.lit(len(LANG_STOPWORDS) - 1))
+    return _stop_hit_counts(
+        text,
+        lambda acc: _bind(F.array_max(acc), lambda mx: F.when(
+            mx > 0,
+            # first (lowest-index) maximum: zip counts with indices, keep
+            # the index where the max occurs, take the smallest
+            F.get(langs, F.array_min(F.zip_with(
+                acc, idx0,
+                lambda c, i: F.when(c == mx, i))).cast("int"))
+        ).otherwise(F.lit("und"))),
+    )
 
 
 def token_count_col(text: Column) -> Column:
@@ -59,26 +109,56 @@ def token_count_col(text: Column) -> Column:
 
 
 def bpe_ish_token_count_col(text: Column) -> Column:
-    """BPE-ish subword count: GPT-2-style pretokenizer regex pieces."""
+    """BPE-ish subword count: GPT-2-style pretokenizer regex pieces.
+    One traversal (count pieces that are non-empty after trim) instead of
+    transform→filter→size, which allocated two intermediate arrays."""
     pieces = F.split(text, r"(?=\s)|(?<=[a-zA-Z])(?=\d)|(?<=\d)(?=[a-zA-Z])")
-    return F.size(F.filter(F.transform(pieces, lambda p: F.trim(p)), lambda p: p != ""))
+    return F.aggregate(
+        pieces, F.lit(0),
+        lambda acc, p: acc + F.when(F.trim(p) != "", 1).otherwise(0),
+    )
 
 
 def quality_score_col(text: Column) -> Column:
     """Composite quality in [0,1] from mean word length, alpha ratio and
     stopword ratio — the shape of heuristic quality filters used by
-    web-scale corpus pipelines (C4/Gopher-style)."""
+    web-scale corpus pipelines (C4/Gopher-style).
+
+    One pass over the token array for (word count, en-stopword hits); the
+    char-level stats and the fold result are bound once via single-element
+    transform so no subtree is re-evaluated (interpreted lambdas, no CSE).
+    Arithmetic is ordered exactly as the round-1 per-term formulation, so
+    results are bit-identical.
+    """
     t = F.coalesce(text, F.lit(""))
-    n_chars = F.length(t).cast("double")
-    w = _words(t)
-    n_words = F.size(w).cast("double")
-    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("double")
-    stop_hits = F.size(F.filter(w, lambda x: x.isin(LANG_STOPWORDS["en"]))).cast("double")
-    mean_wlen = F.when(n_words > 0, alpha / n_words).otherwise(F.lit(0.0))
-    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
-    wlen_term = F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.round((wlen_term + alpha_ratio + F.least(stop_ratio * 5, F.lit(1.0))) / 3.0, 6)
+    en_stops = LANG_STOPWORDS["en"]
+    word_stats = F.aggregate(
+        _words(t),
+        F.struct(F.lit(0.0).alias("nw"), F.lit(0.0).alias("sh")),
+        lambda acc, tok: F.struct(
+            (acc["nw"] + F.lit(1.0)).alias("nw"),
+            (acc["sh"] + F.when(tok.isin(en_stops), F.lit(1.0))
+             .otherwise(F.lit(0.0))).alias("sh")),
+    )
+    stats = F.struct(
+        word_stats.alias("w"),
+        F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("double")
+        .alias("alpha"),
+        F.length(t).cast("double").alias("nc"),
+    )
+
+    def _score(s: Column) -> Column:
+        n_words, stop_hits = s["w"]["nw"], s["w"]["sh"]
+        alpha, n_chars = s["alpha"], s["nc"]
+        mean_wlen = F.when(n_words > 0, alpha / n_words).otherwise(F.lit(0.0))
+        alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+        stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+        wlen_term = F.when((mean_wlen >= 3) & (mean_wlen <= 10),
+                           F.lit(1.0)).otherwise(F.lit(0.0))
+        return F.round(
+            (wlen_term + alpha_ratio + F.least(stop_ratio * 5, F.lit(1.0))) / 3.0, 6)
+
+    return _bind(stats, _score)
 
 
 def content_hash_col(text: Column) -> Column:
