@@ -65,3 +65,36 @@ def standardize_country_col(c: Column) -> Column:
         _iso_map()[low],
         F.when(low.rlike("^[a-z]{2}$"), F.upper(low)),
     )
+
+
+# --- pair-level geo features (F7) ---------------------------------------------
+
+
+def country_match_col(a: Column, b: Column) -> Column:
+    """Country equality after upper/trim; 0.0 when either side is missing
+    or blank (reference: /root/reference/src/features.py:232-238).
+    Native comparison — stays in codegen."""
+    ta, tb = F.trim(a), F.trim(b)
+    return (
+        F.when(a.isNull() | b.isNull() | (ta == "") | (tb == ""), F.lit(0.0))
+        .when(F.upper(ta) == F.upper(tb), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def city_similarity_col(a: Column, b: Column) -> Column:
+    """City-name similarity in [0,1]: 1.0 on exact lower/trim equality,
+    else whitespace-token Jaccard overlap/union (reference:
+    /root/reference/src/features.py:241-260). All-native array arithmetic."""
+    la, lb = F.lower(F.trim(a)), F.lower(F.trim(b))
+    toks = lambda c: F.array_distinct(  # noqa: E731
+        F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+    ta, tb = toks(la), toks(lb)
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = F.size(F.array_union(ta, tb)).cast("double")
+    return (
+        F.when(a.isNull() | b.isNull() | (la == "") | (lb == ""), F.lit(0.0))
+        .when(la == lb, F.lit(1.0))
+        .when(union > 0, inter / union)
+        .otherwise(F.lit(0.0))
+    )

@@ -60,20 +60,50 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 25,
+    checkpoint_io=None,
+    checkpoint_name: str = "cc_frontier",
+    checkpoint_every: int = 1,
+) -> DataFrame:
     """edges(src, dst) → labels(url, cluster_id); singletons excluded
-    (callers left-join and coalesce to self)."""
-    e = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    (callers left-join and coalesce to self).
+
+    Mid-stage resume (SURVEY §7.4 risk 4): with ``checkpoint_io`` (a TableIO)
+    the edge frontier is committed every ``checkpoint_every`` rounds together
+    with the iteration counter, and an audit row records (iteration, edge
+    count, checksum). A re-run finding a committed frontier restarts the star
+    iteration FROM it instead of from the raw edges — at 100 TB a clustering
+    stage is hours, and losing it to a preemption must not restart the whole
+    stage. Large-star/small-star is deterministic given a frontier, so
+    resumed labels are identical (pinned by pytest kill-resume test).
+    """
+    start_iter = 0
+    if checkpoint_io is not None and checkpoint_io.is_committed(checkpoint_name):
+        e = checkpoint_io.read(checkpoint_name).localCheckpoint()
+        start_iter = int(
+            checkpoint_io.committed_meta(checkpoint_name).get("iteration", 0))
+    else:
+        e = (
+            edges.select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
     prev = _fingerprint(e)
-    for _ in range(max_iter):
+    for i in range(start_iter, max_iter):
         e = _large_star(e)
         e = _small_star(e).localCheckpoint()
         cur = _fingerprint(e)
+        if checkpoint_io is not None and (i + 1) % checkpoint_every == 0:
+            checkpoint_io.write(
+                checkpoint_name, e,
+                meta={"iteration": i + 1, "n_edges": cur[0], "checksum": cur[1]})
+            checkpoint_io.append_audit([{
+                "stage": "clusters", "cc_iteration": i + 1,
+                "frontier_edges": cur[0], "frontier_checksum": cur[1],
+            }])
         if cur == prev:
             break
         prev = cur
@@ -86,9 +116,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
 
-def assign_clusters(nodes: DataFrame, edges: DataFrame, id_col: str = "url") -> DataFrame:
-    """All nodes labeled; non-matched nodes become their own singleton."""
-    labels = connected_components(edges)
+def assign_clusters(nodes: DataFrame, edges: DataFrame, id_col: str = "url",
+                    **cc_kwargs) -> DataFrame:
+    """All nodes labeled; non-matched nodes become their own singleton.
+    ``cc_kwargs`` pass through to :func:`connected_components` (mid-stage
+    checkpoint/resume)."""
+    labels = connected_components(edges, **cc_kwargs)
     return (
         nodes.select(F.col(id_col).alias("url")).distinct()
         .join(labels, "url", "left")

@@ -22,9 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.domains import etld1_col
+from ..functions.geo import (
+    city_similarity_col, country_match_col, parse_location_col,
+)
 from ..functions.normalize import fingerprint_col, prefix_col, tokens_col
 from ..functions.similarity import (
     jaro_winkler_udf, levenshtein_ratio_col, token_jaccard_col,
+    token_sort_ratio_udf,
 )
 
 FEATURE_COLS = [
@@ -32,17 +36,24 @@ FEATURE_COLS = [
     "domain_exact", "prefix_match", "size_ratio", "num_conflict",
 ]
 
-# acronym equality (F5) rides along in compute_features; it is not in the
-# calibrated heuristic blend, but the GBT path can consume it via
-# train_gbt(feature_cols=EXTENDED_FEATURE_COLS)
-EXTENDED_FEATURE_COLS = [*FEATURE_COLS, "acronym_match"]
+# Extras riding along in compute_features for the learned scorer
+# (train_gbt(feature_cols=EXTENDED_FEATURE_COLS)); none is in the calibrated
+# heuristic blend:
+#   acronym_match (F5), token_sort_ratio (F2, ref src/features.py:139-148),
+#   country_match / city_similarity (F7, ref src/features.py:232-260 — 0.0
+#   whenever the corpus carries no location column).
+EXTENDED_FEATURE_COLS = [
+    *FEATURE_COLS, "acronym_match", "token_sort_ratio",
+    "country_match", "city_similarity",
+]
 
 
 TOKEN_SKETCH_K = 64
 
 
 def page_attrs(pages: DataFrame, jw_cap: int = 48,
-               sketch_k: int = TOKEN_SKETCH_K) -> DataFrame:
+               sketch_k: int = TOKEN_SKETCH_K,
+               location_col: str = "location") -> DataFrame:
     """Narrow per-page projection the scorer joins against (url, derived).
 
     Tokens are carried as a bottom-k sketch of sorted 60-bit hashes: the
@@ -69,6 +80,16 @@ def page_attrs(pages: DataFrame, jw_cap: int = 48,
         F.filter(toks, lambda t: t.rlike("[0-9]")),
         lambda t: F.xxhash64(t))))
 
+    # geo attrs (F7): parsed when the corpus carries a location column,
+    # typed NULLs otherwise so downstream pair features are schema-stable
+    if location_col in pages.columns:
+        loc = parse_location_col(F.col(location_col))
+        city = loc.getField("city")
+        country = loc.getField("country_iso")
+    else:
+        city = F.lit(None).cast("string")
+        country = F.lit(None).cast("string")
+
     return pages.select(
         "url",
         F.slice(hashed, 1, sketch_k).alias("toks"),
@@ -77,6 +98,8 @@ def page_attrs(pages: DataFrame, jw_cap: int = 48,
         fingerprint_col(F.col("text_norm"), 2).alias("fp"),
         etld1_col(F.col("url")).alias("dom"),
         F.substring(acronym_col(F.col("text_norm")), 1, 16).alias("acro"),
+        city.alias("city"),
+        country.alias("country"),
     ).withColumn("fp_head", F.substring("fp", 1, jw_cap)) \
      .withColumn("p16", prefix_col(F.col("fp"), 16))  # order-invariant prefix
 
@@ -110,6 +133,12 @@ def compute_features(pairs: DataFrame, attrs: DataFrame) -> DataFrame:
         ((F.col("acro_a") == F.col("acro_b")) & (F.length("acro_a") >= 2))
         .cast("double").alias("acronym_match"),
         _num_conflict_col().alias("num_conflict"),
+        token_sort_ratio_udf(F.col("fp_head_a"), F.col("fp_head_b"))
+        .alias("token_sort_ratio"),
+        country_match_col(F.col("country_a"), F.col("country_b"))
+        .alias("country_match"),
+        city_similarity_col(F.col("city_a"), F.col("city_b"))
+        .alias("city_similarity"),
     )
 
 
@@ -169,6 +198,12 @@ def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
                F.least(sz_a, sz_b) / F.greatest(sz_a, sz_b)
                ).otherwise(F.lit(0.0)).alias("size_ratio"),
         _num_conflict_col().alias("num_conflict"),
+        # pair-level geo features (F7): native expressions, constant-folded
+        # to 0.0 when the corpus has no location column (NULL attrs)
+        country_match_col(F.col("country_a"), F.col("country_b"))
+        .alias("country_match"),
+        city_similarity_col(F.col("city_a"), F.col("city_b"))
+        .alias("city_similarity"),
     )
     base = (
         0.55 * F.col("token_jaccard")
@@ -190,11 +225,21 @@ def score_pairs_two_phase(pairs: DataFrame, attrs: DataFrame,
     in_band = F.col("p_base").between(lo, hi)
     jw = jaro_winkler_udf(F.when(in_band, F.col("fp_head_a")),
                           F.when(in_band, F.col("fp_head_b")))
+    # token_sort_ratio (F2) rides the same borderline-band discipline:
+    # NULLed inputs outside the band keep cold rows on the UDF's '' fast
+    # path, and both pandas UDFs evaluate in ONE ArrowEvalPython node (same
+    # projection, no extra Arrow round-trip). It is informational for
+    # downstream rerank/GBT consumers — NOT in the p_match blend, so the
+    # two-phase decision contract is unchanged.
+    tsr = token_sort_ratio_udf(F.when(in_band, F.col("fp_head_a")),
+                               F.when(in_band, F.col("fp_head_b")))
     keep = ["url_a", "url_b", "blocking_score", "token_jaccard",
-            "jw_fingerprint", "lev_ratio_prefix", "domain_exact",
-            "prefix_match", "size_ratio", "num_conflict", "p_match"]
+            "jw_fingerprint", "token_sort_ratio", "lev_ratio_prefix",
+            "domain_exact", "prefix_match", "size_ratio", "num_conflict",
+            "country_match", "city_similarity", "p_match"]
     return (
         feat.withColumn("jw_fingerprint", F.when(in_band, jw))
+        .withColumn("token_sort_ratio", F.when(in_band, tsr))
         .withColumn(
             "p_match",
             F.round(F.col("p_base")

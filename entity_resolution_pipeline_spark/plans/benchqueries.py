@@ -1094,12 +1094,20 @@ def q_media_frames(spark, sf_dir):
     """Video frame sampling (1→N mapInPandas row expansion) with the
     deterministic chunk stub: every 2nd 256-byte chunk, max 4 frames per
     video. The fake sampler is pure byte arithmetic, so the distributed
-    expansion IS oracle-checkable (SQL substring over the blob)."""
+    expansion IS oracle-checkable (SQL substring over the blob).
+
+    The frame is returned hex-encoded (``frame_hex``): the driver's pandas
+    canonicalizer cannot factorize raw ``bytearray`` cells (round-2 red row),
+    and a lossless hex string carries identical information."""
     from ..operators.multimodal import sample_frames
 
     docs = _t(spark, sf_dir, "documents")
-    return sample_frames(media_table(docs), frame_bytes=256, every_n=2,
-                         max_frames=4, fake=True)
+    frames = sample_frames(media_table(docs), frame_bytes=256, every_n=2,
+                           max_frames=4, fake=True)
+    return frames.select(
+        "media_id", "frame_idx",
+        F.hex(F.col("frame")).alias("frame_hex"),
+    )
 
 
 ORACLE_MEDIA_FRAMES = """
@@ -1113,9 +1121,9 @@ WITH m AS (
   FROM m
 )
 SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
-       -- DuckDB 1.0 has no BLOB substring; slice via hex roundtrip
-       -- (2 hex chars per byte: offset i*256 bytes = i*512 chars)
-       unhex(substring(to_hex(payload), CAST(i AS BIGINT) * 512 + 1, 512)) AS frame
+       -- 2 hex chars per byte: offset i*256 bytes = i*512 chars.
+       -- upper() pins casing to Spark's (uppercase) hex() output.
+       upper(substring(to_hex(payload), CAST(i AS BIGINT) * 512 + 1, 512)) AS frame_hex
 FROM c CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS i) s
 WHERE i < n_chunks
 """
@@ -1578,6 +1586,86 @@ FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 """
 
 
+def q_geo_pair_features(spark, sf_dir):
+    """Pair-level geo features (F7): country_match (upper-equality on the
+    ISO code) + city_similarity (token-overlap Jaccard) over deterministic
+    location strings planted on adjacent customers. Locations are NULL for
+    custkey%7==0 (missing-side → 0.0), cities grow a second token
+    (' North') for custkey%3==0 so the Jaccard hits 1, 1/2, 1/3, and 0.
+    Reference semantics: /root/reference/src/features.py:232-260."""
+    from ..functions.geo import (
+        city_similarity_col, country_match_col, parse_location_col,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("c_custkey")
+    loc = F.when(
+        F.pmod(k, F.lit(7)) != 0,
+        F.concat(
+            F.lit("City"), F.pmod(k, F.lit(50)).cast("string"),
+            F.when(F.pmod(k, F.lit(3)) == 0, F.lit(" North")).otherwise(F.lit("")),
+            F.lit(", Region"), F.col("c_nationkey").cast("string"),
+            F.lit(", "), F.col("n_name"),
+        ),
+    )
+    side = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(k.alias("custkey"), parse_location_col(loc).alias("g"))
+    )
+    a = side.where(F.pmod("custkey", F.lit(2)) == 0).select(
+        F.col("custkey").alias("custkey_a"), F.col("g").alias("ga"))
+    b = side.select(F.col("custkey").alias("custkey_b"), F.col("g").alias("gb"))
+    pairs = a.join(b, F.col("custkey_b") == F.col("custkey_a") + 1)
+    return pairs.select(
+        "custkey_a", "custkey_b",
+        F.col("ga.city").alias("city_a"),
+        F.col("gb.city").alias("city_b"),
+        F.col("ga.country_iso").alias("country_a"),
+        F.col("gb.country_iso").alias("country_b"),
+        country_match_col(F.col("ga.country_iso"), F.col("gb.country_iso"))
+        .alias("country_match"),
+        city_similarity_col(F.col("ga.city"), F.col("gb.city"))
+        .alias("city_similarity"),
+    )
+
+
+def _oracle_geo_pair_features() -> str:
+    from ..functions.geo import COUNTRY_TO_ISO
+
+    iso = lambda n: ("CASE lower(trim(" + n + ".n_name)) " + " ".join(  # noqa: E731
+        f"WHEN '{k}' THEN '{v}'" for k, v in COUNTRY_TO_ISO.items()
+    ) + " ELSE NULL END")
+    return f"""
+WITH s AS (
+  SELECT c.c_custkey AS k,
+         (c.c_custkey % 7 <> 0) AS has_loc,
+         'City' || CAST(c.c_custkey % 50 AS VARCHAR)
+           || CASE WHEN c.c_custkey % 3 = 0 THEN ' North' ELSE '' END AS city,
+         (c.c_custkey % 50) AS base,
+         (c.c_custkey % 3 = 0) AS north,
+         {iso('n')} AS iso
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT a.k AS custkey_a, b.k AS custkey_b,
+       CASE WHEN a.has_loc THEN a.city END AS city_a,
+       CASE WHEN b.has_loc THEN b.city END AS city_b,
+       CASE WHEN a.has_loc THEN a.iso END AS country_a,
+       CASE WHEN b.has_loc THEN b.iso END AS country_b,
+       CAST(CASE WHEN a.has_loc AND b.has_loc AND a.iso IS NOT NULL
+                      AND b.iso IS NOT NULL AND a.iso = b.iso
+                 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS country_match,
+       CASE WHEN NOT a.has_loc OR NOT b.has_loc THEN 0.0
+            WHEN a.city = b.city THEN 1.0
+            ELSE CAST(CAST(a.base = b.base AS INT)
+                      + CAST(a.north AND b.north AS INT) AS DOUBLE)
+                 / CAST(CASE WHEN a.base = b.base THEN 1 ELSE 2 END
+                        + CAST(a.north OR b.north AS INT) AS DOUBLE)
+       END AS city_similarity
+FROM s a JOIN s b ON b.k = a.k + 1 WHERE a.k % 2 = 0
+"""
+
+
 def q_flexible_dates(spark, sf_dir):
     """Flexible date parsing round-trip (P16): orders dates re-serialized as
     ISO / 'Qn yyyy' / bare year / Excel-serial strings, then re-parsed."""
@@ -1964,6 +2052,13 @@ def q_stream_sessionize(spark, sf_dir):
 # =============================================================================
 
 QUERIES = {
+    # Flagship end-to-end pipeline + stateful streaming FIRST: in round 2
+    # these were the last two dict entries and the only rows missing from
+    # the driver's correctness record (tail truncation). Front-loading the
+    # two slowest/most-fragile queries guarantees the flagship gate is
+    # recorded even if a driver budget clips the tail.
+    "er_pipeline_clusters": q_er_pipeline_clusters,
+    "stream_sessionize": q_stream_sessionize,
     # relational battery
     "tpch_q1": q_tpch_q1,
     "revenue_by_region": q_revenue_by_region,
@@ -2007,6 +2102,7 @@ QUERIES = {
     "media_frames": q_media_frames,
     # geo / dates / alias / labeling / decisioning widening
     "geo_parse": q_geo_parse,
+    "geo_pair_features": q_geo_pair_features,
     "flexible_dates": q_flexible_dates,
     "alias_rebrand": q_alias_rebrand,
     "weak_supervision": q_weak_supervision,
@@ -2024,11 +2120,8 @@ QUERIES = {
     # legal-name processing (P4/P20)
     "legal_suffix_strip": q_legal_suffix_strip,
     "prose_legal_name": q_prose_legal_name,
-    # structured streaming (watermarked window agg, stateful sessionize)
+    # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
-    "stream_sessionize": q_stream_sessionize,
-    # flagship end-to-end pipeline vs planted-partition oracle
-    "er_pipeline_clusters": q_er_pipeline_clusters,
 }
 
 ORACLE_SQL = {
@@ -2067,6 +2160,7 @@ ORACLE_SQL = {
     "media_decode": ORACLE_MEDIA_DECODE,
     "media_frames": ORACLE_MEDIA_FRAMES,
     "geo_parse": _oracle_geo_parse(),
+    "geo_pair_features": _oracle_geo_pair_features(),
     "flexible_dates": ORACLE_FLEXIBLE_DATES,
     "alias_rebrand": _oracle_alias_rebrand(),
     "weak_supervision": ORACLE_WEAK_SUPERVISION,

@@ -42,6 +42,11 @@ class PipelineConfig:
     stop_frac: float = 0.01  # stop-key ceiling as corpus fraction (skew guard)
     two_phase_scoring: bool = False  # JW pUDF only on the borderline band
     repartition_blocks: int | None = None  # explicit repartition('join_key')
+    # CC mid-stage resume: commit the star-iteration frontier every k rounds
+    # so a preempted clustering stage restarts from the last frontier, not
+    # from the raw edges (SURVEY §7.4 risk 4). 0 = off: at bench scale a
+    # frontier write costs more than the whole stage; at 100 TB set 1.
+    cc_checkpoint_every: int = 0
     extra: dict = field(default_factory=dict)
 
 
@@ -91,9 +96,14 @@ def stage_scored(pairs: DataFrame, attrs: DataFrame,
     return heuristic_score(compute_features(pairs, attrs))
 
 
-def stage_clusters(scored: DataFrame, extracted: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def stage_clusters(scored: DataFrame, extracted: DataFrame, cfg: PipelineConfig,
+                   io: TableIO | None = None) -> DataFrame:
     edges = match_edges(scored, threshold=cfg.threshold)
-    return assign_clusters(extracted.select("url"), edges)
+    cc_kwargs = {}
+    if io is not None and cfg.cc_checkpoint_every:
+        cc_kwargs = {"checkpoint_io": io,
+                     "checkpoint_every": cfg.cc_checkpoint_every}
+    return assign_clusters(extracted.select("url"), edges, **cc_kwargs)
 
 
 def _score_histogram(scored: DataFrame, buckets: int = 10) -> list[dict]:
@@ -169,8 +179,11 @@ def run_pipeline(
     scored = io.read("scored")
 
     if not committed("clusters"):
-        clusters = stage_clusters(scored, extracted, cfg)
+        if not resume:
+            io.uncommit("cc_frontier")  # never resume a stale frontier
+        clusters = stage_clusters(scored, extracted, cfg, io=io)
         io.write("clusters", clusters, meta={"stage": "clusters"})
+        io.uncommit("cc_frontier")  # stage committed → frontier is stale
         io.append_audit([{
             "stage": "clusters",
             "n_clusters": io.read("clusters").select("cluster_id").distinct().count(),

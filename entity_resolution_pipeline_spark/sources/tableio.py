@@ -112,6 +112,20 @@ class TableIO:
     def is_committed(self, name: str) -> bool:
         return name in self._read_manifest()["committed"]
 
+    def committed_meta(self, name: str) -> dict[str, Any]:
+        """Meta dict recorded at commit time ({} if not committed)."""
+        entry = self._read_manifest()["committed"].get(name)
+        return dict(entry["meta"]) if entry else {}
+
+    def uncommit(self, name: str) -> None:
+        """Drop a table's committed entry (its files stay; the next write
+        overwrites them). Used to invalidate mid-stage checkpoints once the
+        owning stage commits."""
+        m = self._read_manifest()
+        if name in m["committed"]:
+            del m["committed"][name]
+            self._write_manifest(m)
+
     def append_audit(self, rows: list[dict[str, Any]]) -> None:
         """Append lineage rows (per-stage, per-partition metrics) to the
         audit table — the Iceberg-audit-table analog. JSONL append keeps the

@@ -60,3 +60,33 @@ def test_cc_self_loops_and_duplicates(spark):
         [("a", "a"), ("a", "b"), ("b", "a"), ("a", "b")], "src: string, dst: string")
     got = {r["url"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert got == {"a": "a", "b": "a"}
+
+
+def test_cc_kill_after_iteration_k_resumes_to_identical_clusters(spark, tmp_path):
+    """Mid-stage resume (SURVEY §7.4 risk 4): kill the star iteration after
+    round 1, then resume from the committed frontier — final labels must be
+    identical to an uninterrupted run, and the resumed run must start from
+    the recorded iteration (audit rows prove per-round commits)."""
+    from entity_resolution_pipeline_spark.sources.tableio import TableIO
+
+    # 60-node path: diameter forces several large/small-star rounds
+    chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(60)]
+    edges = spark.createDataFrame(chain, "src: string, dst: string")
+    full = {r["url"]: r["cluster_id"]
+            for r in connected_components(edges).collect()}
+
+    io = TableIO(spark, str(tmp_path / "cc_ckpt"))
+    # "killed" run: only 1 round executes, frontier committed at iteration 1
+    connected_components(edges, max_iter=1, checkpoint_io=io).collect()
+    assert io.is_committed("cc_frontier")
+    assert io.committed_meta("cc_frontier")["iteration"] == 1
+
+    resumed = {r["url"]: r["cluster_id"]
+               for r in connected_components(edges, checkpoint_io=io).collect()}
+    assert resumed == full
+
+    audit = io.read_audit()
+    iters = [a["cc_iteration"] for a in audit if "cc_iteration" in a]
+    assert iters and iters[0] == 1 and iters == sorted(iters)
+    # resumed run continued from iteration 2, never re-ran round 1
+    assert iters.count(1) == 1

@@ -52,14 +52,19 @@ def test_gbt_scorer_hits_f1_gate(spark, fixtures, features_and_labels):
 
 
 def test_gbt_extended_features_hits_f1_gate(spark, fixtures, features_and_labels):
-    """F5: acronym_match rides in compute_features; a GBT trained on the
-    extended feature set must still clear the gate."""
+    """F5/F2/F7: acronym_match, token_sort_ratio, and the pair-level geo
+    features ride in compute_features; a GBT trained on the extended feature
+    set must still clear the gate (geo features are constant 0.0 on a corpus
+    with no location column — the model must tolerate them)."""
     from entity_resolution_pipeline_spark.operators.scoring import (
         EXTENDED_FEATURE_COLS,
     )
 
     feats, train, extracted = features_and_labels
-    assert "acronym_match" in feats.columns
+    for col in ("acronym_match", "token_sort_ratio",
+                "country_match", "city_similarity"):
+        assert col in feats.columns
+        assert col in EXTENDED_FEATURE_COLS
     asm, model = train_gbt(train, seed=42, feature_cols=EXTENDED_FEATURE_COLS)
     scored = apply_gbt(feats, asm, model)
     clusters = assign_clusters(extracted.select("url"),

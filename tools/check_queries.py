@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 
@@ -54,6 +55,7 @@ def main() -> int:
     failures = 0
     for name in names:
         fn = QUERIES[name]
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
@@ -88,7 +90,7 @@ def main() -> int:
             print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
             failures += 1
             continue
-        print(f"OK    {name}: {len(srows)} rows")
+        print(f"OK    {name}: {len(srows)} rows  [{time.monotonic() - t0:.1f}s]")
     print(f"\n{len(names) - failures}/{len(names)} passed")
     return 1 if failures else 0
 
