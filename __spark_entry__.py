@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full ER pipeline at sf0.001; returns clusters(url, cluster_id)."""
+    """Flagship: full ER pipeline at sf0.001; returns clusters(url, cluster_id).
+
+    The planted partition doubles as the labeled fixture: passing it as
+    ``golden_clusters`` exercises the decisioning stage (isotonic
+    calibration → tiers → conflicts → review queue, D1-D5/M4) on every
+    entry run — the clusters output schema is unchanged."""
+    import pyspark.sql.functions as F
+
     from entity_resolution_pipeline_spark.plans.pipeline import (
         PipelineConfig, run_pipeline,
     )
@@ -28,9 +35,12 @@ def entry(spark: SparkSession) -> DataFrame:
     from entity_resolution_pipeline_spark.sources.tableio import TableIO
 
     pages = pages_from_documents(spark, "/root/testdata/sf0.001", variants=4)
+    golden = pages.select(
+        "url", F.col("true_cluster").cast("string").alias("cluster_id"))
     io = TableIO(spark, tempfile.mkdtemp(prefix="er_entry_"))
     cfg = PipelineConfig(n_bands=8, top_n=100)
-    return run_pipeline(spark, pages.drop("true_cluster"), io, cfg, resume=False)
+    return run_pipeline(spark, pages.drop("true_cluster"), io, cfg,
+                        resume=False, golden_clusters=golden)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -23,6 +23,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class _CheckpointHandle:
+    """Deterministic release for localCheckpoint blocks.
+
+    ``DataFrame.unpersist`` is a cacheManager no-op for checkpoint-backed
+    frames (verified empirically on 4.1: the persistent RDD survives), so
+    the handle records the RDD ids the checkpoint registered and unpersists
+    them directly. Exposes ``unpersist()`` so it slots into the
+    ``_erps_persisted`` / ``release_persisted`` convention.
+    """
+
+    def __init__(self, sc, rdd_ids):
+        self._sc = sc
+        self.rdd_ids = set(rdd_ids)
+
+    def unpersist(self):
+        jmap = self._sc._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) in self.rdd_ids:
+                jmap.get(k).unpersist(False)
+
+
+def _persistent_rdd_ids(sc) -> set[int]:
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint + a handle for explicit block release."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    out = df.localCheckpoint()  # eager: blocks registered on return
+    out._ckpt_handle = _CheckpointHandle(sc, _persistent_rdd_ids(sc) - before)
+    return out
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    h = getattr(df, "_ckpt_handle", None)
+    if h is not None:
+        h.unpersist()
+
+
 def _symmetrize(edges: DataFrame) -> DataFrame:
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return edges.unionByName(rev)
@@ -81,20 +121,23 @@ def connected_components(
     """
     start_iter = 0
     if checkpoint_io is not None and checkpoint_io.is_committed(checkpoint_name):
-        e = checkpoint_io.read(checkpoint_name).localCheckpoint()
+        e = _checkpoint(checkpoint_io.read(checkpoint_name))
         start_iter = int(
             checkpoint_io.committed_meta(checkpoint_name).get("iteration", 0))
     else:
-        e = (
+        e = _checkpoint(
             edges.select("src", "dst")
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
         )
     prev = _fingerprint(e)
     for i in range(start_iter, max_iter):
-        e = _large_star(e)
-        e = _small_star(e).localCheckpoint()
+        superseded = e
+        e = _checkpoint(_small_star(_large_star(e)))  # eager: materialized here
+        # only the newest frontier is ever read again — drop the previous
+        # round's checkpointed blocks instead of accumulating one per round
+        # until ContextCleaner GC (at 100 TB each frontier copy is large)
+        _release_checkpoint(superseded)
         cur = _fingerprint(e)
         if checkpoint_io is not None and (i + 1) % checkpoint_every == 0:
             checkpoint_io.write(
@@ -110,10 +153,14 @@ def connected_components(
     # converged: every edge points a node at its component minimum
     sym = _symmetrize(e)
     labels = sym.groupBy("src").agg(F.min("dst").alias("mn"))
-    return labels.select(
+    out = labels.select(
         F.col("src").alias("url"),
         F.least("src", "mn").alias("cluster_id"),
     )
+    # the final frontier stays checkpointed until the caller materializes
+    # the labels — release via scoring.release_persisted
+    out._erps_persisted = [e._ckpt_handle]
+    return out
 
 
 def assign_clusters(nodes: DataFrame, edges: DataFrame, id_col: str = "url",
@@ -122,8 +169,10 @@ def assign_clusters(nodes: DataFrame, edges: DataFrame, id_col: str = "url",
     ``cc_kwargs`` pass through to :func:`connected_components` (mid-stage
     checkpoint/resume)."""
     labels = connected_components(edges, **cc_kwargs)
-    return (
+    out = (
         nodes.select(F.col(id_col).alias("url")).distinct()
         .join(labels, "url", "left")
         .select("url", F.coalesce("cluster_id", "url").alias("cluster_id"))
     )
+    out._erps_persisted = getattr(labels, "_erps_persisted", None)
+    return out

@@ -134,12 +134,16 @@ def lsh_candidate_pairs(docs: DataFrame | None = None, id_col: str = "doc_id",
             F.broadcast(sizes.where(F.col("n") > stop_threshold)), "bucket", "left_anti")
     a = buckets.select("bucket", F.col("id").alias("id_a"))
     b = buckets.select("bucket", F.col("id").alias("id_b"))
-    return (
+    out = (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    # deterministic release: callers unpersist via scoring.release_persisted
+    # once materialized, instead of waiting on ContextCleaner GC timing
+    out._erps_persisted = [sigs]
+    return out
 
 
 def ngram_jaccard_pairs(docs: DataFrame | None = None, pairs: DataFrame = None,
@@ -172,14 +176,18 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     """LSH recall + exact Jaccard precision: the classic two-phase near-dup.
 
     One persisted shingle table serves both phases; the LSH stage persists
-    its signature table internally. (Both caches are released by the
-    ContextCleaner when the returned plan is garbage-collected.)
+    its signature table internally. Both caches are attached to the result
+    as ``_erps_persisted`` — call ``scoring.release_persisted`` after
+    materializing (long-lived sessions running many dedups must not depend
+    on ContextCleaner timing).
     """
     sh = shingle_table(docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(n_bands=n_bands, stop_threshold=stop_threshold,
                                 shingles=sh)
     verified = ngram_jaccard_pairs(pairs=cands, k=k, shingles=sh)
-    return verified.where(F.col("jaccard") >= threshold)
+    out = verified.where(F.col("jaccard") >= threshold)
+    out._erps_persisted = [sh, *getattr(cands, "_erps_persisted", [])]
+    return out
 
 
 def fuzzy_dedup(docs: DataFrame, id_col: str = "doc_id",
@@ -212,11 +220,16 @@ def fuzzy_dedup(docs: DataFrame, id_col: str = "doc_id",
         nodes,
         edges.select(F.col("id_a").cast("string").alias("src"),
                      F.col("id_b").cast("string").alias("dst")))
-    return labeled.select(
+    out = labeled.select(
         F.col("url").alias("id"),
         F.col("cluster_id").alias("dup_group"),
         (F.col("cluster_id") == F.col("url")).alias("is_keeper"),
     )
+    out._erps_persisted = [
+        *(getattr(edges, "_erps_persisted", None) or []),
+        *(getattr(labeled, "_erps_persisted", None) or []),
+    ]
+    return out
 
 
 # --- SimHash near-dup -------------------------------------------------------------

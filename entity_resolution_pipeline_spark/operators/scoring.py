@@ -273,15 +273,19 @@ def scoring_join_prefs(spark):
 
 
 def release_persisted(df: DataFrame) -> None:
-    """Unpersist the intermediate cache attached to a two-phase result.
+    """Unpersist the intermediate cache(s) attached to a result DataFrame
+    (``_erps_persisted``: a DataFrame or a list of them).
 
     Call after the result is materialized (written/collected): a long-lived
-    driver session running many scorings would otherwise accumulate cached
-    partitions until GC gets around to them.
+    driver session running many scorings/dedups would otherwise accumulate
+    cached partitions until the ContextCleaner gets around to them.
     """
     cached = getattr(df, "_erps_persisted", None)
-    if cached is not None:
-        cached.unpersist()
+    if cached is None:
+        return
+    for c in (cached if isinstance(cached, (list, tuple)) else [cached]):
+        if c is not None:
+            c.unpersist()
 
 
 JW_WEIGHT = 0.20
@@ -344,10 +348,12 @@ def apply_gbt(features: DataFrame, asm, model) -> DataFrame:
 TIER_A, TIER_B, TIER_C = 0.98, 0.93, 0.75
 
 
-def assign_tiers(scored: DataFrame) -> DataFrame:
+def assign_tiers(scored: DataFrame, score_col: str = "p_match") -> DataFrame:
     """Nested when() tier column (reference thresholds,
-    /root/reference/src/decisioning.py:30-91)."""
-    p = F.col("p_match")
+    /root/reference/src/decisioning.py:30-91). ``score_col`` lets the
+    decisioning stage tier on calibrated probabilities (``p_calibrated``) —
+    tier thresholds are probability statements (see operators/modeling.py)."""
+    p = F.col(score_col)
     return scored.withColumn(
         "tier",
         F.when(p >= TIER_A, "A").when(p >= TIER_B, "B")

@@ -96,6 +96,38 @@ def stage_scored(pairs: DataFrame, attrs: DataFrame,
     return heuristic_score(compute_features(pairs, attrs))
 
 
+def stage_decisions(scored: DataFrame, golden_clusters: DataFrame,
+                    cfg: PipelineConfig):
+    """Optional decisioning stage (M4 + D1-D5): calibrate on pairs labeled
+    from a golden partition → ``p_calibrated`` → tiers → conflict flags →
+    review queue.
+
+    Tier thresholds are probability statements, so tiers are assigned on
+    the isotonic-calibrated score, not the raw blend (reference:
+    CalibratedClassifierCV before tiering, src/modeling.py:565-576 +
+    src/decisioning.py:30-91). Returns (decided, review_queue_df).
+    NOTE: requires full-feature scores — the two-phase scorer's partial
+    ``p_match`` is thresholding-only by contract (operators/scoring.py).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.modeling import apply_calibration, fit_isotonic
+    from ..operators.rerank import review_queue
+    from ..operators.scoring import assign_tiers, flag_conflicts
+    from .evaluation import mine_labeled_pairs
+
+    labeled = mine_labeled_pairs(
+        scored.select("url_a", "url_b", "p_match"), golden_clusters)
+    iso = fit_isotonic(labeled)
+    tiered = assign_tiers(apply_calibration(scored, iso),
+                          score_col="p_calibrated")
+    matches = tiered.where(F.col("tier") != "REJECT")
+    alt = Window.partitionBy("url_a")
+    decided = flag_conflicts(matches).withColumn(
+        "n_alternatives", F.count("*").over(alt) - 1)
+    return decided, review_queue(decided)
+
+
 def stage_clusters(scored: DataFrame, extracted: DataFrame, cfg: PipelineConfig,
                    io: TableIO | None = None) -> DataFrame:
     edges = match_edges(scored, threshold=cfg.threshold)
@@ -121,11 +153,17 @@ def run_pipeline(
     io: TableIO,
     cfg: PipelineConfig | None = None,
     resume: bool = True,
+    golden_clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Run (or resume) all stages; returns the clusters DataFrame.
 
     A committed stage is never recomputed on resume — subsequent stages read
     its table, exactly like the reference's checkpoint-skip.
+
+    With ``golden_clusters(url, cluster_id)`` the optional decisioning stage
+    runs after scoring: isotonic calibration on mined labels → tiers →
+    conflicts → review-queue CSV, plus an audit row with per-tier counts.
+    The clusters output is unchanged (decisions are a side table).
     """
     cfg = cfg or PipelineConfig()
 
@@ -178,11 +216,25 @@ def run_pipeline(
         }])
     scored = io.read("scored")
 
+    if golden_clusters is not None and not committed("decisions"):
+        decided, queue = stage_decisions(scored, golden_clusters, cfg)
+        io.write("decisions", decided, meta={"stage": "decisions"})
+        io.write_csv("review_queue", queue.select(
+            "url_a", "url_b", "p_match", "p_calibrated", "tier",
+            "conflict", "n_alternatives"))
+        tier_counts = {
+            r["tier"]: int(r["n"])
+            for r in io.read("decisions").groupBy("tier")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        io.append_audit([{"stage": "decisions", "tier_counts": tier_counts}])
+
     if not committed("clusters"):
         if not resume:
             io.uncommit("cc_frontier")  # never resume a stale frontier
         clusters = stage_clusters(scored, extracted, cfg, io=io)
         io.write("clusters", clusters, meta={"stage": "clusters"})
+        release_persisted(clusters)  # final CC frontier checkpoint
         io.uncommit("cc_frontier")  # stage committed → frontier is stale
         io.append_audit([{
             "stage": "clusters",

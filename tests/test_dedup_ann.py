@@ -58,6 +58,32 @@ def test_fuzzy_dedup_labels_every_row(spark, corpus):
         assert rows[str(i)].dup_group == str(i) and rows[str(i)].is_keeper
 
 
+def test_lsh_caches_release_deterministically(spark, corpus):
+    """minhash_near_duplicates/fuzzy_dedup attach their persisted
+    intermediates (shingles + signatures) as _erps_persisted; after
+    materialize + release_persisted, no NEW cached RDDs may remain —
+    long-lived sessions must not depend on ContextCleaner timing."""
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+
+    def cached_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = cached_ids()
+    out = minhash_near_duplicates(corpus, n_bands=8, threshold=0.3)
+    out.count()  # materialize → caches populated
+    assert len(getattr(out, "_erps_persisted", [])) == 2  # shingles + sigs
+    release_persisted(out)
+    assert cached_ids() <= before
+
+    out2 = fuzzy_dedup(corpus, n_bands=8, threshold=0.3)
+    out2.count()
+    release_persisted(out2)
+    assert cached_ids() <= before
+
+
 def test_simhash_near_duplicates(spark, corpus):
     dups = simhash_near_duplicates(corpus, max_hamming=4)
     pairs = {(r.id_a, r.id_b) for r in dups.collect()}

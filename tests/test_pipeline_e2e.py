@@ -67,6 +67,34 @@ def test_resume_after_partial_run(spark, fixtures, tmp_root, pipeline_run):
     assert os.path.getmtime(io3.path("blocks")) == blocks_mtime
 
 
+def test_decisioning_stage_tier_precision(spark, fixtures, tmp_root):
+    """Flagship decisioning (M4 + D1-D5): with golden_clusters passed,
+    run_pipeline calibrates, tiers, and writes the decisions table + review
+    queue; tier-A empirical precision vs the planted labels must be ≥ the
+    nominal 0.98 threshold, and the audit carries per-tier counts."""
+    io = TableIO(spark, os.path.join(tmp_root, "run_decisions"))
+    run_pipeline(spark, fixtures["pages"], io, CFG,
+                 golden_clusters=fixtures["golden_clusters"])
+    assert io.is_committed("decisions")
+    decided = io.read("decisions")
+
+    golden = fixtures["golden_clusters"]
+    ga = golden.select(F.col("url").alias("url_a"), F.col("cluster_id").alias("ca"))
+    gb = golden.select(F.col("url").alias("url_b"), F.col("cluster_id").alias("cb"))
+    j = (decided.join(ga, "url_a").join(gb, "url_b")
+         .withColumn("label", (F.col("ca") == F.col("cb")).cast("int")))
+    a = j.where("tier = 'A'").agg(
+        F.count("*").alias("n"), F.sum("label").alias("tp")).collect()[0]
+    assert a["n"] > 0
+    assert a["tp"] / a["n"] >= 0.98  # empirical ≥ nominal tier-A precision
+
+    audit = io.read_audit()
+    dec = next(r for r in audit if r["stage"] == "decisions")
+    assert dec["tier_counts"]
+    assert sum(dec["tier_counts"].values()) == decided.count()
+    assert os.path.exists(io.path("review_queue"))  # D5 CSV sink
+
+
 def test_audit_lineage_rows(pipeline_run):
     io, _ = pipeline_run
     audit = io.read_audit()
