@@ -97,7 +97,7 @@ def run_er_pipeline(spark, sf_dir: str, variants: int,
         times["blocks"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        pairs = stage_pairs(salted, cfg)
+        pairs = stage_pairs(salted, cfg, url_dim=extracted.select("url"))
         pairs.write.mode("overwrite").parquet(f"{tmp}/pairs")
         pairs = spark.read.parquet(f"{tmp}/pairs")
         n_pairs = pairs.count()

@@ -93,9 +93,11 @@ def minhash_band_fast_col(items: Column, band: int) -> Column:
     return F.array_min(hashed)
 
 
-def salt_fast_col(id_col: Column, n_salts: int) -> Column:
-    """Deterministic salt bucket via xxhash64 (pipeline-internal)."""
-    return F.pmod(F.xxhash64(id_col), F.lit(n_salts)).cast("int")
+def salt_fast_col(id_col: Column, n_salts: int | Column) -> Column:
+    """Deterministic salt bucket via xxhash64 (pipeline-internal).
+    ``n_salts`` may be a Column (per-row adaptive width)."""
+    n = n_salts if isinstance(n_salts, Column) else F.lit(n_salts)
+    return F.pmod(F.xxhash64(id_col), n).cast("int")
 
 
 def simhash_col(items: Column, bits: int = 32) -> Column:

@@ -73,8 +73,10 @@ def stage_blocks(extracted: DataFrame, cfg: PipelineConfig,
     return salted
 
 
-def stage_pairs(salted: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    return candidate_pairs(salted, top_n=cfg.top_n, n_salts=cfg.n_salts)
+def stage_pairs(salted: DataFrame, cfg: PipelineConfig,
+                url_dim: DataFrame | None = None) -> DataFrame:
+    return candidate_pairs(salted, top_n=cfg.top_n, n_salts=cfg.n_salts,
+                           url_dim=url_dim)
 
 
 def stage_attrs(extracted: DataFrame) -> DataFrame:
@@ -194,7 +196,7 @@ def run_pipeline(
     salted = io.read("blocks")
 
     if not committed("pairs"):
-        pairs = stage_pairs(salted, cfg)
+        pairs = stage_pairs(salted, cfg, url_dim=extracted.select("url"))
         io.write("pairs", pairs, meta={"stage": "pairs"})
         io.append_audit([{"stage": "pairs", "pair_count": io.read("pairs").count()}])
     pairs = io.read("pairs")

@@ -63,10 +63,16 @@ def test_hot_keys_are_salted_and_stop_keys_dropped(spark, fixtures):
     hot_rows = salted.where(F.col("block_key").isin(hot_keys))
     # hot key members carry salt-pair join keys, not the bare key
     assert hot_rows.where(F.col("join_key") == F.col("block_key")).count() == 0
-    # triangular replication: each member appears n_salts times per key
-    per_member = hot_rows.groupBy("block_key", "url").count() \
-                         .agg(F.min("count"), F.max("count")).collect()[0]
-    assert per_member[0] == 4 and per_member[1] == 4
+    # triangular replication with ADAPTIVE width: each member of a block of
+    # size s appears exactly clamp(ceil(s/hot_threshold), 2, n_salts) times
+    # for that key (replication scales with how hot the block actually is)
+    sizes = {r["block_key"]: r["block_size"] for r in
+             stats.where(F.col("block_key").isin(hot_keys)).collect()}
+    per_member = hot_rows.groupBy("block_key", "url").count().collect()
+    for r in per_member:
+        s = sizes[r["block_key"]]
+        expected = min(4, max(2, -(-s // 16)))  # ceil-div, hot=16, n_salts=4
+        assert r["count"] == expected, (r["block_key"], s, r["count"], expected)
     # stop keys (> stop_frac * corpus) gone entirely
     stop_keys = [r["block_key"] for r in
                  stats.where(F.col("block_size") > n_docs * 0.5).collect()]
