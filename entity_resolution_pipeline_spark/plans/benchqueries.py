@@ -33,7 +33,7 @@ from ..functions.textstats import (
     LANG_STOPWORDS, bpe_ish_token_count_col, content_hash_col, lang_id_col,
     quality_score_col, token_count_col,
 )
-from ..operators.ann import brute_force_topk
+from ..operators.ann import brute_force_topk, ivf_topk
 from ..operators.dedup import (
     fuzzy_dedup, lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
     shingle_table, simhash_table,
@@ -830,6 +830,74 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
              ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
   FROM s
 ) WHERE rank <= 5
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF top-k at a REAL approximate setting (n_cells=8, n_probe=2) — the
+    scale path for similarity search (J8; replaces FAISS IVF,
+    /root/reference/src/blocking.py:438-517). Unlike ``ann_topk`` (exact
+    brute force), the DuckDB oracle replicates the ENTIRE IVF plan — the
+    seeded md5 centroid draw, the cosine-argmax cell assignment, and the
+    per-query probe-cell selection — so the hash match verifies the
+    approximate path itself, not merely its agreement with brute force.
+    Cross-engine determinism holds because both sides fold identical
+    float32→double casts left-to-right, so even the UNROUNDED argmax
+    comparisons in assignment/probing agree bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2)
+    return out.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+_IVF_COS = ("CASE WHEN sqrt(list_sum(list_transform({a}, x -> x * x))) > 0 "
+            "AND sqrt(list_sum(list_transform({b}, x -> x * x))) > 0 "
+            "THEN list_dot_product({a}, {b}) "
+            "/ (sqrt(list_sum(list_transform({a}, x -> x * x))) "
+            "* sqrt(list_sum(list_transform({b}, x -> x * x)))) "
+            "ELSE 0.0 END")
+
+
+def _oracle_ann_ivf() -> str:
+    """DuckDB replica of the full IVF plan in ivf_topk/ivf_assign_cells."""
+    cos_ac = _IVF_COS.format(a="v.e", b="cn.c")
+    cos_qc = _IVF_COS.format(a="q.qv", b="cn.c")
+    cos_qn = _IVF_COS.format(a="p.qv", b="a.e")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY _h) AS INT) AS cell_id, e AS c
+  FROM (SELECT e, md5(CAST(vec_id AS VARCHAR) || ':42') AS _h
+        FROM v ORDER BY _h LIMIT 8)
+), asg AS (
+  SELECT v.vec_id, v.e, cn.cell_id,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY {cos_ac} DESC, cn.cell_id ASC) AS rn
+  FROM v CROSS JOIN cent cn
+), cells AS (
+  SELECT vec_id, e, cell_id FROM asg WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 20
+), pr AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.query_id, q.qv, cn.cell_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos_qc} DESC, cn.cell_id ASC) AS rn
+    FROM q CROSS JOIN cent cn) WHERE rn <= 2
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         round({cos_qn}, 6) AS cosine
+  FROM cells a JOIN pr p USING (cell_id)
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM cand) WHERE rank <= 5
 """
 
 
@@ -2091,6 +2159,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     # embeddings
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_srp": q_embedding_near_dup_srp,
     "embedding_centroids": q_embedding_centroids,
@@ -2152,6 +2221,7 @@ ORACLE_SQL = {
     "dedup_canonical": _oracle_dedup_canonical(4, 0.7),
     "corpus_curation": _oracle_corpus_curation(),
     "ann_topk": ORACLE_ANN_TOPK,
+    "ann_ivf": _oracle_ann_ivf(),
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_srp": _oracle_embedding_near_dup_srp(),
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
