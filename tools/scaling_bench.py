@@ -249,8 +249,9 @@ input 17.0M → 4.57M rows, identical pair set) + pages-derived url dim for
 the post-cap map-back — pairs-stage 4→16 efficiency was 0.29 in round 2
 (the round-2 judge flag). Round-2 medians for history: extract 12.9/7.8,
 blocks 27.4/12.5, pairs 61.4/53.7, attrs 13.4/4.6, score_cold 98.4/31.4,
-score 90.3/36.7, cluster 45.8/20.0, e2e 349.6/166.8 (eff 0.524). Raw
-per-round round-3 leg JSONs: `BENCH/e2e_legs_r3.jsonl`.
+score 90.3/36.7, cluster 45.8/20.0, e2e 349.6/166.8 (eff 0.524).
+`BENCH/e2e_legs_r3.jsonl` holds the per-run legs of the FIRST post-salting
+round-3 capture (eff 0.574); the table above is a fresh later capture.
 
 Aggregated e2e bench JSON (stage_sec = per-stage medians):
 
