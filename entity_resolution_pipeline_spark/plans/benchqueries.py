@@ -2115,6 +2115,56 @@ def q_stream_sessionize(spark, sf_dir):
         query_name=f"sess_{uuid.uuid4().hex[:8]}")
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental delta-vs-corpus near-dup as a foreachBatch stream
+    (streaming/incremental.py): the corpus (doc_id % 4 != 0) becomes static
+    persisted state (shingles + stop-guarded LSH buckets); the delta
+    (doc_id % 4 == 0) is written to a directory, read back with readStream,
+    and each micro-batch probes the static bucket index and Jaccard-verifies
+    its candidates — per-batch cost independent of corpus pair count. The
+    oracle replicates the full plan in SQL (md5 band minima, corpus-side
+    stop rule, delta×corpus bucket join, exact shingle Jaccard)."""
+    import tempfile
+
+    from ..streaming.incremental import stream_delta_near_dups
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    delta = docs.where(F.col("doc_id") % 4 == 0)
+    d = tempfile.mkdtemp(prefix="inc_delta_")
+    delta.coalesce(1).write.mode("overwrite").parquet(d)
+    return stream_delta_near_dups(spark, d, corpus, k=3, n_bands=4,
+                                  stop_threshold=LSH_STOP)
+
+
+def _oracle_incremental_near_dup(n_bands: int = 4) -> str:
+    bands = ", ".join(f"{_mh_band_sql(b)} AS mh_{b}" for b in range(n_bands))
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}:' || mh_{b} AS bucket FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH t AS ({_SHINGLE_SQL}), s AS ({_SHINGLE3}),
+sigs AS (SELECT doc_id, {bands} FROM s),
+buckets0 AS ({unions}),
+corpus_b AS (SELECT * FROM buckets0 WHERE doc_id % 4 <> 0),
+delta_b AS (SELECT * FROM buckets0 WHERE doc_id % 4 = 0),
+keep AS (SELECT bucket FROM corpus_b GROUP BY bucket HAVING COUNT(*) <= {LSH_STOP}),
+cand AS (SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+         FROM delta_b d
+         JOIN keep k ON d.bucket = k.bucket
+         JOIN corpus_b c ON d.bucket = c.bucket)
+SELECT p.delta_id, p.corpus_id,
+       round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+             THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sh, sb.sh)))
+             ELSE 0.0 END, 6) AS jaccard
+FROM cand p
+JOIN s sa ON p.delta_id = sa.doc_id
+JOIN s sb ON p.corpus_id = sb.doc_id
+"""
+
+
 # =============================================================================
 # Registry
 # =============================================================================
@@ -2127,6 +2177,7 @@ QUERIES = {
     # recorded even if a driver budget clips the tail.
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "stream_sessionize": q_stream_sessionize,
+    "incremental_near_dup": q_incremental_near_dup,
     # relational battery
     "tpch_q1": q_tpch_q1,
     "revenue_by_region": q_revenue_by_region,
@@ -2247,5 +2298,6 @@ ORACLE_SQL = {
     "prose_legal_name": _oracle_prose_legal_name(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "incremental_near_dup": _oracle_incremental_near_dup(),
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

@@ -1,0 +1,81 @@
+"""Incremental delta-vs-corpus near-dup stream: batch equivalence and
+batching-invariance (streaming/incremental.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_spark.streaming.incremental import (
+    corpus_near_dup_state, score_delta_batch, stream_delta_near_dups,
+)
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def split_docs(spark):
+    """documents split into disjoint corpus (3/4) and delta (1/4)."""
+    docs = spark.read.parquet(os.path.join(SF_TINY, "documents.parquet"))
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    delta = docs.where(F.col("doc_id") % 4 == 0)
+    return corpus, delta
+
+
+def _batch_reference(corpus, delta, stop_threshold=None, threshold=0.0):
+    """One-shot batch computation of the same delta-vs-corpus scores."""
+    sh, buckets = corpus_near_dup_state(
+        corpus, stop_threshold=stop_threshold)
+    out = score_delta_batch(delta, sh, buckets, threshold=threshold)
+    rows = {(r.delta_id, r.corpus_id, r.jaccard) for r in out.collect()}
+    for df in (sh, buckets):
+        df.unpersist()
+    return rows
+
+
+def test_stream_equals_batch(spark, split_docs, tmp_path):
+    corpus, delta = split_docs
+    delta_dir = str(tmp_path / "delta")
+    delta.coalesce(1).write.parquet(delta_dir)
+
+    streamed = stream_delta_near_dups(
+        spark, delta_dir, corpus, stop_threshold=50,
+        sink_dir=str(tmp_path / "sink"))
+    got = {(r.delta_id, r.corpus_id, r.jaccard) for r in streamed.collect()}
+    want = _batch_reference(corpus, delta, stop_threshold=50)
+    assert got == want
+    assert len(got) > 0  # fixture must actually exercise the join
+    # delta-vs-corpus only: no corpus or delta id on the wrong side
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    assert all(a in delta_ids and b not in delta_ids for a, b, _ in got)
+
+
+def test_stream_batching_invariant(spark, split_docs, tmp_path):
+    """File-at-a-time micro-batches produce the identical score set —
+    the corpus-only stop rule makes candidates batching-independent."""
+    corpus, delta = split_docs
+    delta_dir = str(tmp_path / "delta4")
+    delta.repartition(4).write.parquet(delta_dir)  # ≥4 files → ≥4 batches
+
+    streamed = stream_delta_near_dups(
+        spark, delta_dir, corpus, stop_threshold=50,
+        sink_dir=str(tmp_path / "sink4"), max_files_per_trigger=1)
+    got = {(r.delta_id, r.corpus_id, r.jaccard) for r in streamed.collect()}
+    want = _batch_reference(corpus, delta, stop_threshold=50)
+    assert got == want
+
+
+def test_restart_does_not_duplicate(spark, split_docs, tmp_path):
+    """A second availableNow run over the same checkpoint+sink sees no new
+    files and must not change the committed output."""
+    corpus, delta = split_docs
+    delta_dir = str(tmp_path / "delta_r")
+    delta.coalesce(1).write.parquet(delta_dir)
+    sink = str(tmp_path / "sink_r")
+
+    first = stream_delta_near_dups(spark, delta_dir, corpus,
+                                   stop_threshold=50, sink_dir=sink)
+    n_first = first.count()
+    again = stream_delta_near_dups(spark, delta_dir, corpus,
+                                   stop_threshold=50, sink_dir=sink)
+    assert again.count() == n_first
