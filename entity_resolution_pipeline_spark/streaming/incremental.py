@@ -172,7 +172,12 @@ def stream_delta_near_dups(
         stream = reader.parquet(delta_path)
 
     if sink_dir is None:
-        sink_dir = tempfile.mkdtemp(prefix="inc_neardup_sink_")
+        # tmpfs when available — same rationale as the bench stage tables:
+        # the sandbox's single virtual disk serializes the per-batch sink
+        # commits that per-executor NVMe absorbs on a real cluster
+        base = "/dev/shm" if os.path.isdir("/dev/shm") \
+            and os.access("/dev/shm", os.W_OK) else None
+        sink_dir = tempfile.mkdtemp(prefix="inc_neardup_sink_", dir=base)
     ckpt = os.path.join(sink_dir, "_checkpoint")
     out_dir = os.path.join(sink_dir, "scores")
 
