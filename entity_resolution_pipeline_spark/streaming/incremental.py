@@ -53,6 +53,18 @@ DOCS_SCHEMA = StructType([
     StructField("n_chars", LongType()),
 ])
 
+# crawl-delta shape for the incremental ER path (= sources/pages.PAGES_SCHEMA,
+# restated because readStream requires the schema at plan time)
+from pyspark.sql.types import BinaryType, TimestampType  # noqa: E402
+
+PAGES_STREAM_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), False),
+    StructField("html", BinaryType(), False),
+    StructField("text", StringType(), True),
+    StructField("lang", StringType(), True),
+])
+
 
 def _band_buckets(shingles: DataFrame, n_bands: int) -> DataFrame:
     """(id, bucket) — one row per (doc, MinHash band); same key scheme as
@@ -204,3 +216,169 @@ def stream_delta_near_dups(
             df.unpersist()
     return spark.read.option("basePath", out_dir).parquet(out_dir) \
         .select("delta_id", "corpus_id", "jaccard")
+
+
+# --- incremental ER: delta pages scored against the static corpus ------------
+
+
+def corpus_er_state(corpus_pages: DataFrame,
+                    n_bands: int = 12,
+                    stop_threshold: int = 4096,
+                    n_docs: int | None = None,
+                    stop_frac: float = 0.1
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Static ER state: (blocking table, page attrs) of the extracted corpus.
+
+    ``corpus_pages`` must carry (url, text_norm) — i.e. post
+    ``stage_extract`` — because at production scale the extracted corpus IS
+    the stage table the batch pipeline already committed; the delta job
+    reuses it instead of re-extracting 10^12 pages. Both outputs are
+    persisted; at scale they are bucketed tables written once per snapshot.
+
+    The blocking table is UNSALTED: salting exists for the corpus×corpus
+    self-join's skew, while the delta probe join's per-key fan-out is
+    bounded by the corpus-side stop rule (a key covering > stop_frac of the
+    corpus carries no identity signal), with AQE skew-split as the second
+    line of defense. Stop keys are judged on CORPUS counts only, so a delta
+    row's candidates are independent of micro-batch boundaries.
+    """
+    from ..operators.blocking import blocking_table, key_stats
+    from ..operators.scoring import page_attrs
+
+    blocks = blocking_table(corpus_pages.select("url", "text_norm"),
+                            n_bands=n_bands)
+    eff_stop = stop_threshold
+    if n_docs is not None:
+        eff_stop = min(stop_threshold, max(int(n_docs * stop_frac), 64))
+    sizes = key_stats(blocks)
+    blocks = blocks.join(
+        F.broadcast(sizes.where(F.col("block_size") >= eff_stop)),
+        "block_key", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    attrs = page_attrs(corpus_pages).persist(StorageLevel.MEMORY_AND_DISK)
+    return blocks, attrs
+
+
+def score_delta_pages_batch(batch_pages: DataFrame, corpus_blocks: DataFrame,
+                            corpus_attrs: DataFrame, top_n: int | None = 300,
+                            n_bands: int = 12) -> DataFrame:
+    """One delta batch of raw pages → scored (url_a=delta, url_b=corpus)
+    candidate pairs; also the foreachBatch body of
+    :func:`stream_score_delta_pages`.
+
+    Extract → blocking keys for the batch only → equi-join the static
+    corpus blocking table on block_key → per-pair sum of source weights
+    (each distinct shared key counts once, exactly the batch
+    ``candidate_pairs`` semantics — (block_key, delta, corpus) hits are
+    unique by construction here, no salting and therefore no canonical
+    filter needed) → top-N cap per DELTA url (batching-invariant: every
+    candidate of a delta url lives in that url's own batch) → two-phase
+    scoring against corpus attrs ∪ batch attrs.
+    """
+    from ..operators.blocking import SOURCE_SCORES, blocking_table
+    from ..operators.scoring import page_attrs, score_pairs_two_phase
+    from ..plans.pipeline import stage_extract
+    from pyspark.sql import Window
+
+    extracted = stage_extract(batch_pages) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    d_blocks = blocking_table(extracted.select("url", "text_norm"),
+                              n_bands=n_bands)
+    score_map = F.create_map(*[
+        x for s, v in SOURCE_SCORES.items() for x in (F.lit(s), F.lit(v))
+    ])
+    sources_sorted = sorted(SOURCE_SCORES)
+    hits = (
+        d_blocks.select("block_key", "source", F.col("url").alias("url_a"))
+        .join(corpus_blocks.select("block_key", F.col("url").alias("url_b")),
+              "block_key")
+    )
+    flag_aggs = [F.max((F.col("source") == s).cast("int")).alias(f"_has_{s}")
+                 for s in sources_sorted]
+    sources_expr = F.concat_ws("|", *[
+        F.when(F.col(f"_has_{s}") == 1, F.lit(s)) for s in sources_sorted
+    ]).alias("sources")
+    pairs = (
+        hits.groupBy("url_a", "url_b")
+        .agg(F.sum(score_map[F.col("source")]).alias("blocking_score"),
+             *flag_aggs)
+        .select("url_a", "url_b", "blocking_score", sources_expr)
+    )
+    if top_n is not None:
+        w = Window.partitionBy("url_a").orderBy(
+            F.desc("blocking_score"), F.asc("url_b"))
+        pairs = pairs.withColumn("rn", F.row_number().over(w)) \
+                     .where(F.col("rn") <= top_n).drop("rn")
+    attrs = corpus_attrs.unionByName(page_attrs(extracted))
+    out = score_pairs_two_phase(pairs, attrs)
+    out._erps_persisted = [extracted]
+    return out
+
+
+def stream_score_delta_pages(
+    spark: SparkSession,
+    delta_path: str,
+    corpus_pages: DataFrame,
+    top_n: int | None = 300,
+    n_bands: int = 12,
+    stop_threshold: int = 4096,
+    n_docs: int | None = None,
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """The flagship pipeline's incremental path: stream a directory of new
+    crawl pages against the already-extracted corpus and return every scored
+    (url_a=delta, url_b=corpus) pair after an availableNow drain.
+
+    This is what a daily 10^12-page deployment runs between full rebuilds:
+    the corpus blocking table and attrs are the batch pipeline's committed
+    stage tables (static state), and each micro-batch pays extraction +
+    blocking for ITS pages only plus one probe join — never the
+    corpus×corpus self-join. Checkpoint + batch=<id> overwrite sink give
+    the same effectively-exactly-once story as the near-dup stream.
+    """
+    from ..operators.scoring import release_persisted
+
+    corpus_blocks, corpus_attrs = corpus_er_state(
+        corpus_pages, n_bands=n_bands, stop_threshold=stop_threshold,
+        n_docs=n_docs)
+
+    reader = spark.readStream.schema(PAGES_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(delta_path):
+        parent, fname = os.path.split(delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(delta_path)
+
+    if sink_dir is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") \
+            and os.access("/dev/shm", os.W_OK) else None
+        sink_dir = tempfile.mkdtemp(prefix="inc_er_sink_", dir=base)
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "scores")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        scored = score_delta_pages_batch(batch, corpus_blocks, corpus_attrs,
+                                         top_n=top_n, n_bands=n_bands)
+        scored.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
+        release_persisted(scored)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"incremental ER stream did not drain in {timeout_s}s")
+    finally:
+        for df in (corpus_blocks, corpus_attrs):
+            df.unpersist()
+    res = spark.read.option("basePath", out_dir).parquet(out_dir)
+    return res.select(*[c for c in res.columns if c != "batch"])
