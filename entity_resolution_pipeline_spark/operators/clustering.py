@@ -181,3 +181,64 @@ def assign_clusters(nodes: DataFrame, edges: DataFrame, id_col: str = "url",
     )
     out._erps_persisted = getattr(labels, "_erps_persisted", None)
     return out
+
+
+def update_clusters(prior: DataFrame, new_edges: DataFrame,
+                    new_nodes: DataFrame | None = None,
+                    id_col: str = "url", **cc_kwargs) -> DataFrame:
+    """Fold delta match edges into an existing (url, cluster_id) assignment
+    WITHOUT re-clustering the corpus edge set — the clustering leg of the
+    incremental path (streaming/incremental.stream_score_delta_pages →
+    scoring.match_edges → here).
+
+    Correctness: a prior component is fully represented by its cluster id
+    (its minimum member), so contracting every delta-edge endpoint to its
+    prior cluster id and running connected components over the CONTRACTED
+    delta edges yields exactly the merge map of CC(original ∪ delta) —
+    collapsing a connected subgraph to one vertex preserves connectivity,
+    and the merged component's min id is the min of its parts' min ids
+    (pinned by the full-recompute equivalence pytest).
+
+    Cost: CC runs over O(|delta|) contracted edges — at 10^12 documents and
+    a daily delta, rounds touch megabytes, not the corpus. The only
+    corpus-scale work is the final label map-back, a single broadcast-able
+    join of ``prior`` against the (tiny, touched-clusters-only) merge map.
+    Unknown endpoints (brand-new urls) contract to themselves and enter the
+    output as members of whatever they merged with; ``new_nodes`` adds
+    edge-less delta pages as singletons.
+    """
+    e = new_edges.select("src", "dst")
+    p = prior.select(F.col(id_col).alias("url"), "cluster_id")
+    for side in ("src", "dst"):
+        e = (
+            e.join(p.select(F.col("url").alias(side),
+                            F.col("cluster_id").alias(f"_c_{side}")),
+                   side, "left")
+            .withColumn(f"_c_{side}",
+                        F.coalesce(F.col(f"_c_{side}"), F.col(side)))
+        )
+    endpoints = e.select(F.col("src").alias("url")) \
+        .unionByName(e.select(F.col("dst").alias("url")))
+    contracted = (
+        e.select(F.col("_c_src").alias("src"), F.col("_c_dst").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    merges = connected_components(contracted, **cc_kwargs)
+
+    base = p
+    extra = endpoints
+    if new_nodes is not None:
+        extra = extra.unionByName(
+            new_nodes.select(F.col(id_col).alias("url")))
+    base = base.unionByName(
+        extra.distinct().join(p.select("url"), "url", "left_anti")
+        .select("url", F.col("url").alias("cluster_id")))
+    out = (
+        base.join(F.broadcast(merges.select(
+            F.col("url").alias("cluster_id"),
+            F.col("cluster_id").alias("_new"))), "cluster_id", "left")
+        .select("url", F.coalesce("_new", "cluster_id").alias("cluster_id"))
+    )
+    out._erps_persisted = getattr(merges, "_erps_persisted", None)
+    return out

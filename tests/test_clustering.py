@@ -90,3 +90,55 @@ def test_cc_kill_after_iteration_k_resumes_to_identical_clusters(spark, tmp_path
     assert iters and iters[0] == 1 and iters == sorted(iters)
     # resumed run continued from iteration 2, never re-ran round 1
     assert iters.count(1) == 1
+
+
+@pytest.mark.parametrize("n_nodes,n_edges,seed", [(120, 90, 7), (80, 200, 8)])
+def test_update_clusters_equals_full_recompute(spark, n_nodes, n_edges, seed):
+    """update_clusters(cluster(E1), E2) == cluster(E1 ∪ E2), including
+    brand-new nodes that only appear in the delta."""
+    from entity_resolution_pipeline_spark.operators.clustering import (
+        update_clusters,
+    )
+
+    rng = random.Random(seed)
+    edges = [(f"n{rng.randrange(n_nodes):04d}", f"n{rng.randrange(n_nodes):04d}")
+             for _ in range(n_edges)]
+    edges = [(a, b) for a, b in edges if a != b]
+    cut = len(edges) * 2 // 3
+    e1, e2 = edges[:cut], edges[cut:]
+    # delta also introduces nodes the prior run never saw
+    e2 += [(f"x{i:02d}", f"n{rng.randrange(n_nodes):04d}") for i in range(5)]
+    nodes = sorted({x for ab in (e1 + e2) for x in ab} | {"lonely"})
+
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "url: string")
+    e1_df = spark.createDataFrame(e1, "src: string, dst: string")
+    e2_df = spark.createDataFrame(e2, "src: string, dst: string")
+
+    prior = assign_clusters(nodes_df, e1_df)
+    got = {r["url"]: r["cluster_id"]
+           for r in update_clusters(prior, e2_df,
+                                    new_nodes=nodes_df).collect()}
+    full = spark.createDataFrame(e1 + e2, "src: string, dst: string")
+    want = {r["url"]: r["cluster_id"]
+            for r in assign_clusters(nodes_df, full).collect()}
+    assert got == want
+    assert got["lonely"] == "lonely"  # untouched singleton survives
+
+
+def test_update_clusters_chain_merge_across_priors(spark):
+    """A delta edge chain that threads several prior clusters merges them
+    all to the global min id."""
+    from entity_resolution_pipeline_spark.operators.clustering import (
+        update_clusters,
+    )
+
+    e1 = [("a1", "a2"), ("b1", "b2"), ("c1", "c2")]
+    nodes = spark.createDataFrame(
+        [(n,) for n in ["a1", "a2", "b1", "b2", "c1", "c2"]], "url: string")
+    prior = assign_clusters(
+        nodes, spark.createDataFrame(e1, "src: string, dst: string"))
+    delta = spark.createDataFrame(
+        [("a2", "b1"), ("b2", "c1")], "src: string, dst: string")
+    got = {r["url"]: r["cluster_id"]
+           for r in update_clusters(prior, delta).collect()}
+    assert set(got.values()) == {"a1"} and len(got) == 6
