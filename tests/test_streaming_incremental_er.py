@@ -82,3 +82,39 @@ def test_er_stream_batching_invariant(spark, er_split, tmp_path):
     for df in (blocks, attrs):
         df.unpersist()
     assert got == want
+
+
+def test_incremental_e2e_recovers_golden_partition(spark, er_split, tmp_path):
+    """Capstone: batch-cluster the corpus, stream the held-out delta, fold
+    the delta's match edges into the prior labels — the updated assignment
+    must induce exactly the golden partition over all pages."""
+    from entity_resolution_pipeline_spark.operators.clustering import (
+        assign_clusters, update_clusters,
+    )
+    from entity_resolution_pipeline_spark.operators.scoring import match_edges
+
+    corpus, delta, golden = er_split
+    corpus_x = stage_extract(corpus)
+
+    # prior assignment: batch path over the corpus only
+    blocks, attrs = corpus_er_state(corpus_x)
+    corpus_pairs = score_delta_pages_batch(corpus, blocks, attrs)
+    # (batch-vs-itself probe also emits self pairs url_a == url_b and both
+    # orientations; match_edges' src != dst filter in CC handles selves)
+    prior = assign_clusters(corpus.select("url"),
+                            match_edges(corpus_pairs, 0.45))
+
+    delta_dir = str(tmp_path / "delta_e2e")
+    delta.coalesce(1).write.parquet(delta_dir)
+    streamed = stream_score_delta_pages(
+        spark, delta_dir, corpus_x, sink_dir=str(tmp_path / "sink_e2e"))
+    updated = update_clusters(prior, match_edges(streamed, 0.45),
+                              new_nodes=delta.select("url"))
+    for df in (blocks, attrs):
+        df.unpersist()
+
+    # same partition ⟺ same (url set, groupings); cluster ids are min
+    # members on both sides, so direct dict equality applies
+    got = {r["url"]: r["cluster_id"] for r in updated.collect()}
+    want = {r["url"]: r["cluster_id"] for r in golden.collect()}
+    assert got == want
