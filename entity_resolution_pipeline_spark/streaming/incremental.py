@@ -214,6 +214,9 @@ def stream_delta_near_dups(
     finally:
         for df in (corpus_sh, corpus_buckets):
             df.unpersist()
+    if not os.path.isdir(out_dir):  # empty delta: no batch ever fired
+        return spark.createDataFrame(
+            [], "delta_id bigint, corpus_id bigint, jaccard double")
     return spark.read.option("basePath", out_dir).parquet(out_dir) \
         .select("delta_id", "corpus_id", "jaccard")
 
@@ -380,5 +383,13 @@ def stream_score_delta_pages(
     finally:
         for df in (corpus_blocks, corpus_attrs):
             df.unpersist()
+    if not os.path.isdir(out_dir):  # empty delta: no batch ever fired
+        return spark.createDataFrame([], ", ".join(
+            f"{c} {'string' if c.startswith('url_') else 'double'}"
+            for c in ["url_a", "url_b", "blocking_score", "token_jaccard",
+                      "jw_fingerprint", "token_sort_ratio",
+                      "lev_ratio_prefix", "domain_exact", "prefix_match",
+                      "size_ratio", "num_conflict", "country_match",
+                      "city_similarity", "p_match"]))
     res = spark.read.option("basePath", out_dir).parquet(out_dir)
     return res.select(*[c for c in res.columns if c != "batch"])
