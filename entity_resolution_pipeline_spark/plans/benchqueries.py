@@ -1577,7 +1577,14 @@ def q_er_pipeline_clusters(spark, sf_dir):
     DuckDB oracle reconstructs from the documents table (urls are a pure
     function of doc_id × variant). Any split, merge, or misassignment
     breaks the hash match: this is a driver-checkable end-to-end gate, not
-    a rows-only smoke test."""
+    a rows-only smoke test.
+
+    ``two_phase_scoring=True`` (the production scorer, same as bench.py's
+    flagship config): only clusters are returned, and the two-phase scorer
+    is threshold-decision-identical to the full scorer by contract
+    (operators/scoring.py), so the oracle hash is unchanged while the
+    Jaro-Winkler pUDF runs only on the borderline band — 49s → 17s at
+    sf0.01, keeping this row well inside any per-query driver budget."""
     import tempfile
 
     from .pipeline import PipelineConfig, run_pipeline
@@ -1586,7 +1593,7 @@ def q_er_pipeline_clusters(spark, sf_dir):
 
     pages = pages_from_documents(spark, sf_dir, variants=4)
     io = TableIO(spark, tempfile.mkdtemp(prefix="er_q_"))
-    cfg = PipelineConfig(n_bands=8, top_n=100)
+    cfg = PipelineConfig(n_bands=8, top_n=100, two_phase_scoring=True)
     clusters = run_pipeline(spark, pages.drop("true_cluster"), io, cfg,
                             resume=False)
     w = Window.partitionBy("cluster_id")
