@@ -2173,6 +2173,185 @@ JOIN s sb ON p.corpus_id = sb.doc_id
 
 
 # =============================================================================
+# Similarity + decisioning driver-visible rows (F1/F2, D1/D3/D5, D2/D4)
+# =============================================================================
+
+
+def q_jaro_winkler(spark, sf_dir):
+    """Jaro-Winkler (F1, the Arrow-batched pandas UDF) + Levenshtein ratio
+    (F2, native builtin) over deterministic supplier-name variant pairs.
+
+    The DuckDB oracle uses its builtin ``jaro_winkler_similarity`` — same
+    standard parameters as the reference (p=0.1, boost threshold 0.7,
+    4-char prefix cap; /root/reference/src/features.py:45-119) — verified
+    bit-for-bit against ``jaro_winkler_py`` (also pinned by
+    tests/test_similarity.py), so this row is an exact cross-engine check
+    of the pUDF, not a rounded approximation."""
+    from ..functions.similarity import jaro_winkler_udf, levenshtein_ratio_col
+
+    supp = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    base = F.element_at(
+        F.array(F.lit("acme corp"), F.lit("zenith gmbh"), F.lit("nordwind llc"),
+                F.lit("bluepeak industries"), F.lit("quartz holdings")),
+        (k % 5 + 1).cast("int"))
+    a = F.concat(base, F.lit(" "), (k % 97).cast("string"))
+    m3 = k % 3
+    b = (
+        F.when(m3 == 0, a)
+        .when(m3 == 1, F.concat(base, F.lit(" "), ((k + 1) % 97).cast("string")))
+        .otherwise(F.concat(F.reverse(base), F.lit(" x")))
+    )
+    d = supp.select(k.alias("suppkey"), a.alias("a"), b.alias("b"))
+    return d.select(
+        "suppkey", "a", "b",
+        jaro_winkler_udf(F.col("a"), F.col("b")).alias("jw"),
+        F.round(levenshtein_ratio_col(F.col("a"), F.col("b")), 6)
+         .alias("lev_ratio"),
+    )
+
+
+ORACLE_JARO_WINKLER = """
+WITH v AS (
+  SELECT s_suppkey AS suppkey,
+         (['acme corp','zenith gmbh','nordwind llc','bluepeak industries',
+           'quartz holdings'])[(s_suppkey % 5) + 1] AS base
+  FROM supplier
+), p AS (
+  SELECT suppkey,
+         base || ' ' || CAST(suppkey % 97 AS VARCHAR) AS a,
+         CASE suppkey % 3
+           WHEN 0 THEN base || ' ' || CAST(suppkey % 97 AS VARCHAR)
+           WHEN 1 THEN base || ' ' || CAST((suppkey + 1) % 97 AS VARCHAR)
+           ELSE reverse(base) || ' x' END AS b
+  FROM v
+)
+SELECT suppkey, a, b,
+       jaro_winkler_similarity(a, b) AS jw,
+       round(CASE WHEN greatest(len(a), len(b)) > 0
+             THEN 1.0 - CAST(levenshtein(a, b) AS DOUBLE)
+                        / greatest(len(a), len(b))
+             ELSE 1.0 END, 6) AS lev_ratio
+FROM p
+"""
+
+
+def q_decisioning_queue(spark, sf_dir):
+    """Tier assignment (D1) → many-to-one conflict flags (D3) →
+    review-queue selection (D5) — the decisioning operators themselves,
+    driver-checked — over deterministic scored pairs derived from orders
+    (p_match = (o_orderkey % 100)/100; url_b collides on o_orderkey % 499
+    to plant conflicts). Reference: src/decisioning.py:30-91,198-216."""
+    from ..operators.rerank import review_queue
+    from ..operators.scoring import assign_tiers, flag_conflicts
+
+    orders = _t(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("url_a"),
+        F.concat(F.lit("o"), (F.col("o_orderkey") % 499).cast("string"))
+         .alias("url_b"),
+        ((F.col("o_orderkey") % 100).cast("double") / F.lit(100.0))
+         .alias("p_match"),
+    )
+    matches = assign_tiers(scored).where(F.col("tier") != "REJECT")
+    alt = Window.partitionBy("url_a")
+    decided = flag_conflicts(matches).withColumn(
+        "n_alternatives", F.count("*").over(alt) - 1)
+    return review_queue(decided)
+
+
+ORACLE_DECISIONING_QUEUE = """
+WITH scored AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS url_a,
+         'o' || CAST(o_orderkey % 499 AS VARCHAR) AS url_b,
+         CAST(o_orderkey % 100 AS DOUBLE) / 100.0 AS p_match
+  FROM orders
+), tiered AS (
+  SELECT *, CASE WHEN p_match >= 0.98 THEN 'A'
+                 WHEN p_match >= 0.93 THEN 'B'
+                 WHEN p_match >= 0.75 THEN 'C'
+                 ELSE 'REJECT' END AS tier
+  FROM scored
+), matches AS (
+  SELECT * FROM tiered WHERE tier <> 'REJECT'
+), decided AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY url_b) > 1 AS conflict,
+         COUNT(*) OVER (PARTITION BY url_a) - 1 AS n_alternatives
+  FROM matches
+)
+SELECT url_a, url_b, p_match, tier, conflict, n_alternatives
+FROM decided
+WHERE tier = 'C' OR conflict OR n_alternatives > 3
+"""
+
+
+def q_match_type_evidence(spark, sf_dir):
+    """Match-type classification (D2) + evidence JSON (D4) over
+    deterministic feature rows from supplier. Feature values are exact
+    multiples of 1/16 and weights powers of two, so every contribution is
+    an exact short-decimal double that Spark's ``to_json`` and DuckDB's
+    ``to_json`` print identically — the JSON strings hash-match verbatim.
+    Reference: src/decisioning.py:112-131 (match type), evidence payload
+    per src/decisioning.py report rows."""
+    from ..operators.rerank import classify_match_type, with_evidence_json
+
+    supp = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    m5 = k % 5
+    d = supp.select(
+        k.alias("suppkey"),
+        ((k % 16).cast("double") / F.lit(16.0)).alias("jw_fingerprint"),
+        (((k * 7) % 16).cast("double") / F.lit(16.0)).alias("token_jaccard"),
+        (k % 2).cast("double").alias("domain_exact"),
+        ((F.floor(k / 2) % 2).cast("double")).alias("prefix_match"),
+        F.when(m5 == 0, "GUO").when(m5 == 1, "branch")
+         .when(m5 == 2, "Sub").when(m5 == 3, "subsidiary").alias("role"),
+    )
+    weights = {"jw_fingerprint": 0.5, "token_jaccard": 0.25,
+               "domain_exact": 0.5, "prefix_match": 0.125}
+    out = classify_match_type(with_evidence_json(d, weights))
+    return out.select("suppkey", "match_type", "evidence")
+
+
+ORACLE_MATCH_TYPE_EVIDENCE = """
+WITH f AS (
+  SELECT s_suppkey AS suppkey,
+         CAST(s_suppkey % 16 AS DOUBLE) / 16.0 * 0.5 AS c_jw,
+         CAST((s_suppkey * 7) % 16 AS DOUBLE) / 16.0 * 0.25 AS c_tj,
+         CAST(s_suppkey % 2 AS DOUBLE) * 0.5 AS c_dom,
+         CAST((s_suppkey // 2) % 2 AS DOUBLE) * 0.125 AS c_pref,
+         CASE s_suppkey % 5 WHEN 0 THEN 'GUO' WHEN 1 THEN 'branch'
+              WHEN 2 THEN 'Sub' WHEN 3 THEN 'subsidiary' END AS role
+  FROM supplier
+), c AS (
+  SELECT suppkey, role, u.f AS feature, round(u.c, 6) AS contribution
+  FROM f, UNNEST([
+    struct_pack(f := 'jw_fingerprint', c := c_jw),
+    struct_pack(f := 'token_jaccard', c := c_tj),
+    struct_pack(f := 'domain_exact', c := c_dom),
+    struct_pack(f := 'prefix_match', c := c_pref)]) AS t(u)
+), e AS (
+  SELECT suppkey, any_value(role) AS role,
+         to_json(list(struct_pack(feature := feature,
+                                  contribution := contribution)
+                      ORDER BY round(-abs(contribution), 6), feature))
+           AS evidence
+  FROM c GROUP BY suppkey
+)
+SELECT suppkey,
+       CASE upper(coalesce(role, ''))
+            WHEN 'GUO' THEN 'GUO'
+            WHEN 'BRANCH' THEN 'BRANCH'
+            WHEN 'SUB' THEN 'SUBSIDIARY'
+            WHEN 'SUBSIDIARY' THEN 'SUBSIDIARY'
+            ELSE 'LEGAL_ENTITY' END AS match_type,
+       evidence
+FROM e
+"""
+
+
+# =============================================================================
 # Registry
 # =============================================================================
 
@@ -2247,6 +2426,10 @@ QUERIES = {
     # legal-name processing (P4/P20)
     "legal_suffix_strip": q_legal_suffix_strip,
     "prose_legal_name": q_prose_legal_name,
+    # similarity + decisioning operators (F1/F2, D1/D3/D5, D2/D4)
+    "jaro_winkler": q_jaro_winkler,
+    "decisioning_queue": q_decisioning_queue,
+    "match_type_evidence": q_match_type_evidence,
     # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
 }
@@ -2303,6 +2486,9 @@ ORACLE_SQL = {
     "family_expand": ORACLE_FAMILY_EXPAND,
     "legal_suffix_strip": _oracle_legal_suffix_strip(),
     "prose_legal_name": _oracle_prose_legal_name(),
+    "jaro_winkler": ORACLE_JARO_WINKLER,
+    "decisioning_queue": ORACLE_DECISIONING_QUEUE,
+    "match_type_evidence": ORACLE_MATCH_TYPE_EVIDENCE,
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "incremental_near_dup": _oracle_incremental_near_dup(),
