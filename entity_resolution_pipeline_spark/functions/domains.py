@@ -60,3 +60,36 @@ def email_domain_col(email: Column) -> Column:
 
 def is_free_email_col(domain: Column) -> Column:
     return F.lower(domain).isin(FREE_EMAIL_DOMAINS)
+
+
+# Query parameters that never change page identity — the usual tracking set.
+TRACKING_PARAMS_RE = r"(?:utm_[a-z]+|fbclid|gclid|msclkid)=[^&#]*"
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Canonical dedup key for a URL: case-fold, strip fragment, leading
+    `www.`, default ports (:80/:443), tracking query params (utm_*,
+    fbclid, gclid, msclkid — then tidy dangling `?`/`&`), and the trailing
+    slash. Purely native regexp chain (codegen, zero shuffle), restricted
+    to the Java-regex ∩ RE2 subset (no lookaround / replacement backrefs)
+    so the DuckDB battery oracle mirrors each step verbatim.
+
+    URL-key canonicalization is the first dedup stage of a crawl
+    pipeline — at 100 TB it collapses ~20-40% of raw crawl rows before
+    any content hashing. Case-folding the ENTIRE url (not just
+    scheme+host) is the documented spec choice: dedup keys trade
+    path-case fidelity for collision recall, same as the reference's
+    lower-cased url keys (/root/reference/src/utils.py:54-113 analog).
+    """
+    c = F.lower(F.coalesce(url, F.lit("")))
+    c = F.regexp_replace(c, r"#.*$", "")            # fragment
+    c = F.regexp_replace(c, r"://www\.", "://")     # leading www.
+    c = F.regexp_replace(c, r":(?:80|443)/", "/")   # default port mid-url
+    c = F.regexp_replace(c, r":(?:80|443)\?", "?")
+    c = F.regexp_replace(c, r":(?:80|443)$", "")    # default port at end
+    c = F.regexp_replace(c, TRACKING_PARAMS_RE, "")  # tracking params
+    c = F.regexp_replace(c, r"\?&+", "?")           # tidy ?&& -> ?
+    c = F.regexp_replace(c, r"&&+", "&")            # tidy a=1&&b=2
+    c = F.regexp_replace(c, r"[?&]+$", "")          # dangling ? / &
+    # trailing slash — but never the one in `scheme://`
+    return F.when(c.rlike("://$"), c).otherwise(F.regexp_replace(c, r"/+$", ""))

@@ -164,3 +164,56 @@ def quality_score_col(text: Column) -> Column:
 def content_hash_col(text: Column) -> Column:
     """Exact-dedup key: md5 of the raw text bytes."""
     return F.md5(F.coalesce(text, F.lit("")))
+
+
+def repetition_counts_col(text: Column) -> Column:
+    """Gopher-style repetition signals as EXACT integer counts (struct of
+    total_words / distinct_words / total_bigrams / distinct_bigrams /
+    top_word_count) — callers derive the duplicate-word, duplicate-bigram
+    and top-word fractions from these; integers hash identically across
+    engines where float division would not.
+
+    Zero-shuffle per-row expression: bigrams come from zip_with over two
+    shifted slices of the bound token array, and the most-frequent-word
+    count is a single fold over the SORTED token array tracking
+    (prev, run, best) — no explode/groupBy, so the signal costs one
+    projection even at 10^9 documents. Boilerplate/repetition filtering is
+    a first-class curation stage in large-scale training-data pipelines
+    (Gopher-style quality rules); the reference has no analog — marked as
+    an LLM-pipeline extension.
+    """
+
+    def _with_words(w: Column) -> Column:
+        n = F.size(w)
+        m = F.greatest(n - 1, F.lit(0))
+        bigrams = F.zip_with(
+            F.slice(w, 1, m), F.slice(w, 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        top = F.aggregate(
+            F.array_sort(w),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: _bind(
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+                lambda run: F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.greatest(acc["best"], run).alias("best"),
+                ),
+            ),
+            lambda acc: acc["best"],
+        )
+        return _bind(bigrams, lambda bg: F.struct(
+            n.cast("long").alias("total_words"),
+            F.size(F.array_distinct(w)).cast("long").alias("distinct_words"),
+            F.size(bg).cast("long").alias("total_bigrams"),
+            F.size(F.array_distinct(bg)).cast("long").alias("distinct_bigrams"),
+            top.alias("top_word_count"),
+        ))
+
+    return _bind(_words(text), _with_words)

@@ -2351,6 +2351,196 @@ FROM e
 """
 
 
+def q_docs_repetition(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals over the documents
+    table as EXACT integer counts (duplicate-word / duplicate-bigram /
+    top-word fractions derive from them; integers hash identically across
+    engines where float division drifts). Zero-shuffle projection — see
+    functions/textstats.py:repetition_counts_col. LLM-pipeline extension
+    (no reference analog)."""
+    from ..functions.textstats import repetition_counts_col
+
+    docs = _t(spark, sf_dir, "documents")
+    # struct once, expand in a second select: CollapseProject keeps the
+    # non-cheap fold single-evaluated instead of inlining it 5×.
+    d = docs.select("doc_id", repetition_counts_col(F.col("text")).alias("r"))
+    return d.select(
+        "doc_id",
+        F.col("r.total_words").alias("total_words"),
+        F.col("r.distinct_words").alias("distinct_words"),
+        F.col("r.total_bigrams").alias("total_bigrams"),
+        F.col("r.distinct_bigrams").alias("distinct_bigrams"),
+        F.col("r.top_word_count").alias("top_word_count"),
+    )
+
+
+# Tokenization mirrors functions/textstats.py:_words — lower, split on
+# [^a-z0-9']+, drop empties.
+ORACLE_DOCS_REPETITION = r"""
+WITH w0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                     x -> x <> '') AS words
+  FROM documents
+), base AS (
+  SELECT doc_id, words,
+         list_transform(generate_series(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i + 1]) AS bigrams
+  FROM w0
+), u AS (
+  SELECT doc_id, unnest(words) AS w FROM w0
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS top_word_count FROM wc GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(len(b.words) AS BIGINT) AS total_words,
+       CAST(len(list_distinct(b.words)) AS BIGINT) AS distinct_words,
+       CAST(len(b.bigrams) AS BIGINT) AS total_bigrams,
+       CAST(len(list_distinct(b.bigrams)) AS BIGINT) AS distinct_bigrams,
+       CAST(coalesce(t.top_word_count, 0) AS BIGINT) AS top_word_count
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+def q_docs_pii_redact(spark, sf_dir):
+    """PII scrub (emails / phones / IPv4) over documents whose text is
+    deterministically salted with doc_id-derived contact strings (the raw
+    corpus is PII-free word soup, so the salt is what exercises the
+    redaction; presence varies by doc_id mod so counts span 0/1). Native
+    regexp chain — functions/redact.py. LLM-pipeline extension."""
+    from ..functions.redact import pii_counts_col, redact_pii_col
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    salted = F.concat(
+        F.col("text"),
+        F.when((k % 3) != 0, F.concat(
+            F.lit(" contact user"), k.cast("string"), F.lit("@mail"),
+            (k % 5).cast("string"), F.lit(".example.com"),
+        )).otherwise(F.lit("")),
+        F.when((k % 2) == 0, F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad((k % 10000).cast("string"), 4, "0"),
+        )).otherwise(F.lit("")),
+        F.when((k % 5) < 2, F.concat(
+            F.lit(" from 10.0."), (k % 256).cast("string"), F.lit("."),
+            (k % 100).cast("string"),
+        )).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", salted.alias("salted"))
+    d = d.select("doc_id", "salted", pii_counts_col(F.col("salted")).alias("c"))
+    return d.select(
+        "doc_id",
+        redact_pii_col(F.col("salted")).alias("redacted"),
+        F.col("c.email_count").alias("email_count"),
+        F.col("c.phone_count").alias("phone_count"),
+        F.col("c.ip_count").alias("ip_count"),
+    )
+
+
+ORACLE_DOCS_PII_REDACT = r"""
+WITH s AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 <> 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+                   CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 2 = 0
+              THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 < 2
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                   CAST(doc_id % 100 AS VARCHAR)
+              ELSE '' END AS salted
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(salted,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g'),
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(salted,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS email_count,
+       CAST(len(regexp_extract_all(salted,
+         '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS phone_count,
+       CAST(len(regexp_extract_all(salted,
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS ip_count
+FROM s
+"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonical dedup keys (case-fold, fragment / www. / default-port
+    / tracking-param / trailing-slash strip) over deterministic messy URLs
+    derived from doc_id — every mess variety (uppercase, :443, :80, utm_*,
+    fbclid+gclid, fragment-only, bare host) is represented. Native regexp
+    chain — functions/domains.py:canonicalize_url_col. First dedup stage
+    of a crawl pipeline; LLM-pipeline extension."""
+    from ..functions.domains import canonicalize_url_col
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    m = k % 6
+    s = (k % 9).cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTPS://WWW.Site"), s,
+                                F.lit(".COM:443/Path/?utm_source=x&q=1#frag")))
+        .when(m == 1, F.concat(F.lit("http://site"), s, F.lit(".com:80/a/b/")))
+        .when(m == 2, F.concat(F.lit("https://site"), s,
+                               F.lit(".com/a?utm_campaign=c&utm_medium=m")))
+        .when(m == 3, F.concat(F.lit("https://www.site"), s,
+                               F.lit(".com/a?q=1&fbclid=AbC&gclid=9")))
+        .when(m == 4, F.concat(F.lit("http://site"), s, F.lit(".com:80")))
+        .otherwise(F.concat(F.lit("https://site"), s, F.lit(".com/#top")))
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id", "url",
+        canonicalize_url_col(F.col("url")).alias("canonical_url"),
+    )
+
+
+ORACLE_URL_CANONICALIZE = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 9 AS VARCHAR) ||
+                       '.COM:443/Path/?utm_source=x&q=1#frag'
+           WHEN 1 THEN 'http://site' || CAST(doc_id % 9 AS VARCHAR) || '.com:80/a/b/'
+           WHEN 2 THEN 'https://site' || CAST(doc_id % 9 AS VARCHAR) ||
+                       '.com/a?utm_campaign=c&utm_medium=m'
+           WHEN 3 THEN 'https://www.site' || CAST(doc_id % 9 AS VARCHAR) ||
+                       '.com/a?q=1&fbclid=AbC&gclid=9'
+           WHEN 4 THEN 'http://site' || CAST(doc_id % 9 AS VARCHAR) || '.com:80'
+           ELSE 'https://site' || CAST(doc_id % 9 AS VARCHAR) || '.com/#top'
+         END AS url
+  FROM documents
+), c1 AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(lower(url),
+           '#.*$', '', 'g'),
+           '://www\.', '://', 'g'),
+           ':(?:80|443)/', '/', 'g'),
+           ':(?:80|443)\?', '?', 'g'),
+           ':(?:80|443)$', '', 'g'),
+           '(?:utm_[a-z]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+           '\?&+', '?', 'g'),
+           '&&+', '&', 'g'),
+           '[?&]+$', '', 'g') AS c
+  FROM u
+)
+SELECT doc_id, url,
+       CASE WHEN regexp_matches(c, '://$') THEN c
+            ELSE regexp_replace(c, '/+$', '', 'g') END AS canonical_url
+FROM c1
+"""
+
+
 # =============================================================================
 # Registry
 # =============================================================================
@@ -2430,6 +2620,9 @@ QUERIES = {
     "jaro_winkler": q_jaro_winkler,
     "decisioning_queue": q_decisioning_queue,
     "match_type_evidence": q_match_type_evidence,
+    "docs_repetition": q_docs_repetition,
+    "docs_pii_redact": q_docs_pii_redact,
+    "url_canonicalize": q_url_canonicalize,
     # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
 }
@@ -2489,6 +2682,9 @@ ORACLE_SQL = {
     "jaro_winkler": ORACLE_JARO_WINKLER,
     "decisioning_queue": ORACLE_DECISIONING_QUEUE,
     "match_type_evidence": ORACLE_MATCH_TYPE_EVIDENCE,
+    "docs_repetition": ORACLE_DOCS_REPETITION,
+    "docs_pii_redact": ORACLE_DOCS_PII_REDACT,
+    "url_canonicalize": ORACLE_URL_CANONICALIZE,
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "incremental_near_dup": _oracle_incremental_near_dup(),
