@@ -216,4 +216,4 @@ def repetition_counts_col(text: Column) -> Column:
             top.alias("top_word_count"),
         ))
 
-    return _bind(_words(text), _with_words)
+    return _bind(_words(F.coalesce(text, F.lit(""))), _with_words)

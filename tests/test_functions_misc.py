@@ -113,3 +113,75 @@ def test_media_frame_sampling_stub(spark):
     assert sorted(r["frame_idx"] for r in frames) == [0, 2, 4]
     last = next(r for r in frames if r["frame_idx"] == 4)
     assert len(last["frame"]) == 1200 - 4 * 256  # tail chunk truncates
+
+
+def _one_str(spark, col, value):
+    """Like _one but with an explicit string schema so a bare None works."""
+    return (
+        spark.createDataFrame([(value,)], "v string")
+        .select(col.alias("r")).collect()[0]["r"]
+    )
+
+
+def test_repetition_counts_cases(spark):
+    from entity_resolution_pipeline_spark.functions.textstats import (
+        repetition_counts_col,
+    )
+
+    def rc(v):
+        return _one_str(spark, repetition_counts_col(F.col("v")), v)
+
+    r = rc("a b a c b a")
+    assert (r["total_words"], r["distinct_words"]) == (6, 3)
+    # bigrams: "a b","b a","a c","c b","b a" -> 5 total, 4 distinct
+    assert (r["total_bigrams"], r["distinct_bigrams"]) == (5, 4)
+    assert r["top_word_count"] == 3  # "a" ×3
+    r = rc("word")
+    assert (r["total_words"], r["total_bigrams"], r["top_word_count"]) == (1, 0, 1)
+    r = rc("")
+    assert (r["total_words"], r["distinct_words"], r["total_bigrams"],
+            r["top_word_count"]) == (0, 0, 0, 0)
+    r = rc(None)
+    assert r["total_words"] == 0
+    # case-fold + separator split follow _words
+    r = rc("The THE the!")
+    assert (r["total_words"], r["distinct_words"], r["top_word_count"]) == (3, 1, 3)
+
+
+def test_pii_redact_cases(spark):
+    from entity_resolution_pipeline_spark.functions.redact import (
+        pii_counts_col, redact_pii_col,
+    )
+
+    s = "mail a.b+c@ex-ample.co.uk or +1-555-0042, host 10.0.255.7 done"
+    assert _one_str(spark, redact_pii_col(F.col("v")), s) == \
+        "mail <EMAIL> or <PHONE>, host <IP> done"
+    r = _one_str(spark, pii_counts_col(F.col("v")), s)
+    assert (r["email_count"], r["phone_count"], r["ip_count"]) == (1, 1, 1)
+    # email digits must never be half-eaten by the phone/IP patterns
+    s2 = "x 1.2.3.4a no-boundary 1234@d.io"
+    r2 = _one_str(spark, pii_counts_col(F.col("v")), s2)
+    assert (r2["email_count"], r2["ip_count"]) == (1, 0)
+    assert _one_str(spark, redact_pii_col(F.col("v")), None) == ""
+    r3 = _one_str(spark, pii_counts_col(F.col("v")), "nothing here")
+    assert (r3["email_count"], r3["phone_count"], r3["ip_count"]) == (0, 0, 0)
+
+
+def test_url_canonicalize_cases(spark):
+    from entity_resolution_pipeline_spark.functions.domains import (
+        canonicalize_url_col,
+    )
+
+    def cu(v):
+        return _one_str(spark, canonicalize_url_col(F.col("v")), v)
+
+    assert cu("HTTPS://WWW.Ex.COM:443/Path/?utm_source=x&q=1#f") == \
+        "https://ex.com/path/?q=1"
+    assert cu("http://ex.com:80/a/b/") == "http://ex.com/a/b"
+    assert cu("https://ex.com/a?utm_campaign=c&utm_medium=m") == "https://ex.com/a"
+    assert cu("https://ex.com/a?q=1&fbclid=AbC&gclid=9") == "https://ex.com/a?q=1"
+    assert cu("http://ex.com:80") == "http://ex.com"
+    assert cu("https://ex.com/#top") == "https://ex.com"
+    assert cu("https://ex.com:8080/x") == "https://ex.com:8080/x"  # non-default port kept
+    assert cu("https://") == "https://"  # never eat the scheme's slashes
+    assert cu(None) == ""
