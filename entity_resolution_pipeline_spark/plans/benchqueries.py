@@ -742,6 +742,7 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 
 
 CURATION_MIN_QUALITY = 0.4
+GATE_MIN_QUALITY = 0.65  # curation_gate floor: corpus median quality
 
 
 def q_corpus_curation(spark, sf_dir):
@@ -2541,6 +2542,65 @@ FROM c1
 """
 
 
+def q_curation_gate(spark, sf_dir):
+    """Per-document keep/drop gate composing the curation signals the way
+    a real 100 TB filtering job chains them: language-ID == en, quality
+    floor, and Gopher-style repetition caps (duplicate-word fraction
+    ≤ 0.55, top-word fraction ≤ 0.10 — thresholds sit at the corpus
+    medians so both flags genuinely split the data). Repetition rules are
+    INTEGER cross-multiplications of the exact counts, so no float
+    division can drift between engines; each flag is emitted alongside
+    the conjunction so the oracle hash verifies every rule, not just the
+    final keep bit."""
+    from ..functions.textstats import (
+        lang_id_col, quality_score_col, repetition_counts_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        quality_score_col(F.col("text")).alias("quality"),
+        repetition_counts_col(F.col("text")).alias("r"),
+    )
+    d = d.select(
+        "doc_id",
+        (F.col("lang_pred") == "en").alias("lang_ok"),
+        (F.col("quality") >= F.lit(GATE_MIN_QUALITY)).alias("quality_ok"),
+        (((F.col("r.total_words") - F.col("r.distinct_words")) * 100
+          <= F.col("r.total_words") * 55)
+         & (F.col("r.top_word_count") * 10 <= F.col("r.total_words"))
+         ).alias("repetition_ok"),
+    )
+    return d.select(
+        "doc_id", "lang_ok", "quality_ok", "repetition_ok",
+        (F.col("lang_ok") & F.col("quality_ok")
+         & F.col("repetition_ok")).alias("keep"),
+    )
+
+
+def _oracle_curation_gate() -> str:
+    return f"""
+WITH lang AS ({_oracle_lang_id()}),
+qual AS ({ORACLE_DOCS_QUALITY}),
+rep AS ({ORACLE_DOCS_REPETITION}),
+flags AS (
+  SELECT d.doc_id,
+         l.lang_pred = 'en' AS lang_ok,
+         q.quality >= {GATE_MIN_QUALITY} AS quality_ok,
+         ((r.total_words - r.distinct_words) * 100 <= r.total_words * 55
+          AND r.top_word_count * 10 <= r.total_words) AS repetition_ok
+  FROM documents d
+  JOIN lang l USING (doc_id)
+  JOIN qual q USING (doc_id)
+  JOIN rep r USING (doc_id)
+)
+SELECT doc_id, lang_ok, quality_ok, repetition_ok,
+       (lang_ok AND quality_ok AND repetition_ok) AS keep
+FROM flags
+"""
+
+
 # =============================================================================
 # Registry
 # =============================================================================
@@ -2623,6 +2683,7 @@ QUERIES = {
     "docs_repetition": q_docs_repetition,
     "docs_pii_redact": q_docs_pii_redact,
     "url_canonicalize": q_url_canonicalize,
+    "curation_gate": q_curation_gate,
     # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
 }
@@ -2685,6 +2746,7 @@ ORACLE_SQL = {
     "docs_repetition": ORACLE_DOCS_REPETITION,
     "docs_pii_redact": ORACLE_DOCS_PII_REDACT,
     "url_canonicalize": ORACLE_URL_CANONICALIZE,
+    "curation_gate": _oracle_curation_gate(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "incremental_near_dup": _oracle_incremental_near_dup(),
