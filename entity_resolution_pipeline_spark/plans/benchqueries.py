@@ -2600,6 +2600,99 @@ SELECT doc_id, lang_ok, quality_ok, repetition_ok,
 FROM flags
 """
 
+CHUNK_SIZE = 32   # words per training chunk
+CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 8 words
+
+
+def q_docs_chunk(spark, sf_dir):
+    """Fixed-window document chunking with overlap — the sample-prep step
+    between curation and tokenization in a training-data pipeline (pack
+    each doc into 32-word windows, stride 24). One posexplode over a
+    per-row transform(sequence(...)) — the chunk fan-out never shuffles,
+    so at 100 TB it stays a map-side expansion the parquet sink absorbs.
+    Short docs produce exactly one (possibly short) chunk; the final
+    partial window is kept (n_words < 32 on the tail chunk)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    n_chunks = F.when(n <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.floor((n - CHUNK_SIZE + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("int")
+        + 1)
+    d = docs.select("doc_id", w.alias("w"), n_chunks.alias("nc"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("nc") - 1),
+        lambda i: F.struct(
+            F.concat_ws(
+                " ", F.slice(F.col("w"), i * CHUNK_STRIDE + 1, CHUNK_SIZE),
+            ).alias("t"),
+            F.size(
+                F.slice(F.col("w"), i * CHUNK_STRIDE + 1, CHUNK_SIZE),
+            ).cast("long").alias("n"),
+        ),
+    )
+    d = d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+    return d.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.t").alias("chunk_text"),
+        F.col("c.n").alias("n_words"),
+    )
+
+
+ORACLE_DOCS_CHUNK = """
+WITH w0 AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), n0 AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= 32 THEN 1
+              ELSE CAST(floor((len(w) - 32 + 23) / 24.0) AS BIGINT) + 1
+         END AS nc
+  FROM w0
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       array_to_string(list_slice(w, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(w, i * 24 + 1, i * 24 + 32)) AS BIGINT) AS n_words
+FROM n0, unnest(generate_series(0, nc - 1)) AS t(i)
+"""
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic stratified corpus sampling (E3's corpus-scale analog):
+    md5-bucket each doc_id into 0..99 and keep en docs at 50%, others at
+    20%. Hash-based sampling is reproducible across engines, runs, and
+    cluster sizes — unlike rand()-based sampling it survives re-execution
+    and partial re-reads, which is what a 100 TB curation job needs for
+    auditable subsets. Every row is emitted with its bucket and kept flag
+    so the oracle verifies the rule itself, not just the surviving set."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample:"),
+                               F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    d = docs.select("doc_id", "lang", bucket.alias("bucket"))
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(20))
+    return d.select(
+        "doc_id", "lang", "bucket", (F.col("bucket") < rate).alias("kept"),
+    )
+
+
+ORACLE_CORPUS_SAMPLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket,
+       bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END) AS kept
+FROM b
+"""
+
 
 # =============================================================================
 # Registry
@@ -2684,6 +2777,8 @@ QUERIES = {
     "docs_pii_redact": q_docs_pii_redact,
     "url_canonicalize": q_url_canonicalize,
     "curation_gate": q_curation_gate,
+    "docs_chunk": q_docs_chunk,
+    "corpus_sample": q_corpus_sample,
     # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
 }
@@ -2747,6 +2842,8 @@ ORACLE_SQL = {
     "docs_pii_redact": ORACLE_DOCS_PII_REDACT,
     "url_canonicalize": ORACLE_URL_CANONICALIZE,
     "curation_gate": _oracle_curation_gate(),
+    "docs_chunk": ORACLE_DOCS_CHUNK,
+    "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "incremental_near_dup": _oracle_incremental_near_dup(),
