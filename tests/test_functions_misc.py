@@ -185,3 +185,63 @@ def test_url_canonicalize_cases(spark):
     assert cu("https://ex.com:8080/x") == "https://ex.com:8080/x"  # non-default port kept
     assert cu("https://") == "https://"  # never eat the scheme's slashes
     assert cu(None) == ""
+
+
+def test_docs_chunk_boundaries(spark):
+    """Chunk fan-out: exactly one chunk at n<=32, a second from n=33; the
+    tail partial window is kept and stride/overlap arithmetic is exact."""
+    from entity_resolution_pipeline_spark.plans.benchqueries import (
+        CHUNK_SIZE, CHUNK_STRIDE, q_docs_chunk,
+    )
+    import entity_resolution_pipeline_spark.plans.benchqueries as bq
+
+    assert (CHUNK_SIZE, CHUNK_STRIDE) == (32, 24)
+    words = lambda n: " ".join(f"w{i}" for i in range(n))
+    rows = [(1, words(32)), (2, words(33)), (3, words(85)), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # route q_docs_chunk at the synthetic table via the _t seam
+    orig = bq._t
+    bq._t = lambda spark_, sf_dir, name: df
+    try:
+        out = q_docs_chunk(spark, "unused").collect()
+    finally:
+        bq._t = orig
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_words"] == 32
+    assert len(by_doc[2]) == 2
+    tail = sorted(by_doc[2], key=lambda r: r["chunk_id"])[-1]
+    assert tail["n_words"] == 33 - CHUNK_STRIDE  # 9-word tail window
+    # n=85: chunks start at words 1, 25, 49, 73 -> 3 full + 13-word tail
+    assert [r["n_words"] for r in sorted(by_doc[3], key=lambda r: r["chunk_id"])] \
+        == [32, 32, 32, 13]
+    # overlap: chunk k starts CHUNK_STRIDE words in, so the first 8 words
+    # of chunk 1 are the last 8 of chunk 0
+    c0, c1 = [r["chunk_text"].split(" ")
+              for r in sorted(by_doc[3], key=lambda r: r["chunk_id"])[:2]]
+    assert c0[-(CHUNK_SIZE - CHUNK_STRIDE):] == c1[:CHUNK_SIZE - CHUNK_STRIDE]
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["chunk_text"] == "solo"
+
+
+def test_corpus_sample_deterministic(spark):
+    """Same doc_id -> same bucket on every run; rates apply per language."""
+    import entity_resolution_pipeline_spark.plans.benchqueries as bq
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+        "doc_id long, lang string")
+    orig = bq._t
+    bq._t = lambda spark_, sf_dir, name: df
+    try:
+        a = {r["doc_id"]: (r["bucket"], r["kept"])
+             for r in bq.q_corpus_sample(spark, "unused").collect()}
+        b = {r["doc_id"]: (r["bucket"], r["kept"])
+             for r in bq.q_corpus_sample(spark, "unused").collect()}
+    finally:
+        bq._t = orig
+    assert a == b
+    for doc_id, (bucket, kept) in a.items():
+        rate = 50 if doc_id % 2 == 0 else 20
+        assert kept == (bucket < rate)
