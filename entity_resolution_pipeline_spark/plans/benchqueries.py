@@ -2693,6 +2693,41 @@ SELECT doc_id, lang, bucket,
 FROM b
 """
 
+PPM_W, PPM_H = 8, 6
+
+
+def q_media_ppm_decode(spark, sf_dir):
+    """REAL image decode (not a stub): build a valid binary P6 PPM per doc
+    JVM-side (header + deterministic RGB raster via hex-fold → unhex),
+    then parse it with the actual numpy PPM decoder over mapInPandas and
+    emit exact integer channel sums. The oracle recomputes the sums from
+    the pixel-generation closed form — so a hash match proves the bytes
+    Spark assembled were decoded correctly end-to-end. JPEG/PNG stay
+    env-bound stubs; P6 needs no codec library."""
+    from ..operators.multimodal import decode_ppm, ppm_payload_col
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = docs.select(
+        "doc_id",
+        ppm_payload_col(F.col("doc_id"), PPM_W, PPM_H).alias("payload"),
+    )
+    return decode_ppm(imgs)
+
+
+ORACLE_MEDIA_PPM_DECODE = f"""
+SELECT doc_id,
+       CAST({PPM_W} AS BIGINT) AS width,
+       CAST({PPM_H} AS BIGINT) AS height,
+       CAST({PPM_W * PPM_H} AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(generate_series(0, {PPM_W * PPM_H - 1}),
+            p -> (doc_id + p) % 256)) AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(generate_series(0, {PPM_W * PPM_H - 1}),
+            p -> (doc_id * 3 + p * 5) % 256)) AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(generate_series(0, {PPM_W * PPM_H - 1}),
+            p -> (p * 7) % 256)) AS BIGINT) AS sum_b
+FROM documents
+"""
+
 
 # =============================================================================
 # Registry
@@ -2779,6 +2814,7 @@ QUERIES = {
     "curation_gate": q_curation_gate,
     "docs_chunk": q_docs_chunk,
     "corpus_sample": q_corpus_sample,
+    "media_ppm_decode": q_media_ppm_decode,
     # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
 }
@@ -2844,6 +2880,7 @@ ORACLE_SQL = {
     "curation_gate": _oracle_curation_gate(),
     "docs_chunk": ORACLE_DOCS_CHUNK,
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
+    "media_ppm_decode": ORACLE_MEDIA_PPM_DECODE,
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "incremental_near_dup": _oracle_incremental_near_dup(),

@@ -245,3 +245,32 @@ def test_corpus_sample_deterministic(spark):
     for doc_id, (bucket, kept) in a.items():
         rate = 50 if doc_id % 2 == 0 else 20
         assert kept == (bucket < rate)
+
+
+def test_ppm_decode_real_roundtrip(spark):
+    """REAL P6 decode: Spark-assembled PPM bytes parse back to the exact
+    generation formula; junk payloads are dropped, comment headers parse."""
+    from entity_resolution_pipeline_spark.operators.multimodal import (
+        _parse_ppm, decode_ppm, ppm_payload_col,
+    )
+
+    docs = spark.createDataFrame([(7,), (123,)], "doc_id long")
+    imgs = docs.select(
+        "doc_id", ppm_payload_col(F.col("doc_id"), 4, 3).alias("payload"))
+    rows = {r["doc_id"]: r for r in decode_ppm(imgs).collect()}
+    for did in (7, 123):
+        r = rows[did]
+        assert (r["width"], r["height"], r["n_pixels"]) == (4, 3, 12)
+        assert r["sum_r"] == sum((did + p) % 256 for p in range(12))
+        assert r["sum_g"] == sum((did * 3 + p * 5) % 256 for p in range(12))
+        assert r["sum_b"] == sum((p * 7) % 256 for p in range(12))
+    # junk rows are dropped, not poisoned
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"not a ppm")), (2, None)],
+        "doc_id long, payload binary")
+    assert decode_ppm(junk).count() == 0
+    # comment-tolerant header (pure-python parser contract)
+    img = b"P6\n# comment\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    w, h, raster = _parse_ppm(img)
+    assert (w, h) == (2, 1)
+    assert raster.sum(axis=(0, 1)).tolist() == [50, 70, 90]
