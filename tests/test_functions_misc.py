@@ -274,3 +274,27 @@ def test_ppm_decode_real_roundtrip(spark):
     w, h, raster = _parse_ppm(img)
     assert (w, h) == (2, 1)
     assert raster.sum(axis=(0, 1)).tolist() == [50, 70, 90]
+
+
+def test_wav_decode_real_roundtrip(spark):
+    """REAL PCM WAV decode: Spark-assembled RIFF bytes parse back to the
+    two's-complement image of the generation formula; junk dropped."""
+    from entity_resolution_pipeline_spark.operators.multimodal import (
+        decode_wav, wav_payload_col,
+    )
+
+    docs = spark.createDataFrame([(7,), (4242,)], "doc_id long")
+    audio = docs.select(
+        "doc_id", wav_payload_col(F.col("doc_id"), 16, 8000).alias("payload"))
+    rows = {r["doc_id"]: r for r in decode_wav(audio).collect()}
+    for did in (7, 4242):
+        amps = [((did * 31 + i * 17) % 65536 + 32768) % 65536 - 32768
+                for i in range(16)]
+        r = rows[did]
+        assert (r["n_channels"], r["sample_rate"], r["n_samples"]) == (1, 8000, 16)
+        assert (r["sum_amp"], r["min_amp"], r["max_amp"]) == \
+            (sum(amps), min(amps), max(amps))
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"RIFFnope")), (2, None)],
+        "doc_id long, payload binary")
+    assert decode_wav(junk).count() == 0
