@@ -437,3 +437,48 @@ def decode_wav(audio: DataFrame, id_col: str = "doc_id",
 
     return audio.select(id_col, payload_col).mapInPandas(
         decode_batches, schema=WAV_DECODE_SCHEMA)
+
+
+def resize_ppm(images: DataFrame, out_w: int, out_h: int,
+               id_col: str = "doc_id",
+               payload_col: str = "payload") -> DataFrame:
+    """REAL image resize: parse each P6 payload with the real decoder,
+    nearest-neighbor resample the raster to (out_w × out_h) in numpy
+    (output pixel (x,y) reads source pixel (floor(x·W/out_w),
+    floor(y·H/out_h))), and emit the resized dimensions + exact integer
+    channel sums — so an external oracle can verify the resample
+    arithmetic itself from the source-pixel closed form. Replaces the
+    byte-crop stand-in of ``resize_media`` for the PPM format."""
+    import numpy as np
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "sum_r", "sum_g", "sum_b")}
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _parse_ppm(p)
+                if parsed is None:
+                    continue
+                w, h, raster = parsed
+                xs = (np.arange(out_w) * w) // out_w
+                ys = (np.arange(out_h) * h) // out_h
+                resized = raster[np.ix_(ys, xs)]
+                s = resized.sum(axis=(0, 1), dtype="int64")
+                out["doc_id"].append(int(did))
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(out)
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+    ])
+    return images.select(id_col, payload_col).mapInPandas(
+        resize_batches, schema=schema)

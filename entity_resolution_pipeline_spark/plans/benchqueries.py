@@ -2714,6 +2714,46 @@ def q_media_ppm_decode(spark, sf_dir):
     return decode_ppm(imgs)
 
 
+RESIZE_W, RESIZE_H = 5, 4
+
+
+def q_media_ppm_resize(spark, sf_dir):
+    """REAL image resize: decode the Spark-assembled PPM, nearest-neighbor
+    resample 8×6 → 5×4 in numpy, emit exact integer channel sums of the
+    RESIZED raster. The oracle evaluates the resample arithmetic from the
+    closed form — output pixel (x,y) reads source pixel
+    ((x·8)//5, (y·6)//4) — so the hash verifies the resampling itself."""
+    from ..operators.multimodal import ppm_payload_col, resize_ppm
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = docs.select(
+        "doc_id",
+        ppm_payload_col(F.col("doc_id"), PPM_W, PPM_H).alias("payload"),
+    )
+    return resize_ppm(imgs, RESIZE_W, RESIZE_H)
+
+
+ORACLE_MEDIA_PPM_RESIZE = f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {RESIZE_W * RESIZE_H - 1}),
+           p -> ((p // {RESIZE_W}) * {PPM_H} // {RESIZE_H}) * {PPM_W}
+                + ((p % {RESIZE_W}) * {PPM_W} // {RESIZE_W})) AS src
+  FROM documents
+)
+SELECT doc_id,
+       CAST({RESIZE_W} AS BIGINT) AS width,
+       CAST({RESIZE_H} AS BIGINT) AS height,
+       CAST(list_sum(list_transform(src, s -> (doc_id + s) % 256))
+            AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(src, s -> (doc_id * 3 + s * 5) % 256))
+            AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(src, s -> (s * 7) % 256))
+            AS BIGINT) AS sum_b
+FROM px
+"""
+
+
 WAV_N_SAMPLES, WAV_RATE = 64, 8000
 
 
@@ -2859,6 +2899,7 @@ QUERIES = {
     "corpus_sample": q_corpus_sample,
     "media_ppm_decode": q_media_ppm_decode,
     "media_wav_decode": q_media_wav_decode,
+    "media_ppm_resize": q_media_ppm_resize,
     # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
 }
@@ -2926,6 +2967,7 @@ ORACLE_SQL = {
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "media_ppm_decode": ORACLE_MEDIA_PPM_DECODE,
     "media_wav_decode": ORACLE_MEDIA_WAV_DECODE,
+    "media_ppm_resize": ORACLE_MEDIA_PPM_RESIZE,
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "incremental_near_dup": _oracle_incremental_near_dup(),

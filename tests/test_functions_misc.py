@@ -298,3 +298,26 @@ def test_wav_decode_real_roundtrip(spark):
         [(1, bytearray(b"RIFFnope")), (2, None)],
         "doc_id long, payload binary")
     assert decode_wav(junk).count() == 0
+
+
+def test_ppm_resize_nearest_neighbor(spark):
+    """NN resample reads source pixel ((x*W)//w2, (y*H)//h2); identity
+    resize reproduces the full-raster sums."""
+    from entity_resolution_pipeline_spark.operators.multimodal import (
+        decode_ppm, ppm_payload_col, resize_ppm,
+    )
+
+    docs = spark.createDataFrame([(9,)], "doc_id long")
+    imgs = docs.select(
+        "doc_id", ppm_payload_col(F.col("doc_id"), 4, 3).alias("payload"))
+    # identity resize == decode sums
+    full = decode_ppm(imgs).collect()[0]
+    same = resize_ppm(imgs, 4, 3).collect()[0]
+    assert (same["sum_r"], same["sum_g"], same["sum_b"]) == \
+        (full["sum_r"], full["sum_g"], full["sum_b"])
+    # 2x1 output: pixels (0,0) and (2,0) of the 4x3 source
+    small = resize_ppm(imgs, 2, 1).collect()[0]
+    src = [0, 2]
+    assert small["sum_r"] == sum((9 + s) % 256 for s in src)
+    assert small["sum_g"] == sum((9 * 3 + s * 5) % 256 for s in src)
+    assert small["sum_b"] == sum((s * 7) % 256 for s in src)
