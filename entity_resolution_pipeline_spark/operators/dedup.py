@@ -405,3 +405,46 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                  dot / (F.col("n_a") * F.col("n_b"))).otherwise(F.lit(0.0))
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")) \
                 .where(F.col("cosine") >= threshold)
+
+
+# --- Benchmark decontamination ---------------------------------------------------
+
+
+def contamination_flags(train: DataFrame, eval_docs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, min_overlap: int = 2) -> DataFrame:
+    """Flag training docs sharing ≥ ``min_overlap`` distinct word
+    k-shingles with ANY eval-set doc — the decontamination stage every
+    LLM training pipeline runs before a benchmark release (no reference
+    analog; LLM-pipeline extension).
+
+    100 TB shape: the eval set is tiny relative to the corpus, so its
+    distinct shingle set is broadcast; the train side streams through one
+    broadcast hash join and only (id, hit) pairs — never text — reach the
+    per-doc aggregation. The corpus is read once, shuffled once (on id,
+    post-join, hits only).
+    """
+    ev = (
+        shingle_table(eval_docs, id_col, text_col, k)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    tr = shingle_table(train, id_col, text_col, k).select(
+        "id", F.explode("sh").alias("shingle"))
+    # shingles_col is per-doc distinct, so count(*) == distinct overlaps
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        train.select(F.col(id_col).cast("long").alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+            .alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap)
+            .alias("contaminated"),
+        )
+    )

@@ -2714,6 +2714,53 @@ def q_media_ppm_decode(spark, sf_dir):
     return decode_ppm(imgs)
 
 
+DECON_K, DECON_MIN_OVERLAP = 3, 2
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing ≥2 distinct
+    word 3-shingles with the deterministic eval slice (doc_id % 97 == 0).
+    Broadcast eval shingle set, one pass over the corpus — see
+    operators/dedup.py:contamination_flags. At sf0.01 this flags ~9% of
+    docs with 177/500 having any hit, so both outputs genuinely split."""
+    from ..operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_flags(
+        docs, eval_docs, k=DECON_K, min_overlap=DECON_MIN_OVERLAP)
+
+
+# shingle CTE mirrors hashing.shingles_col: lower, split \s+, drop empties,
+# per-doc distinct k-shingles; n<k degrades to the whole-doc token string.
+ORACLE_DECONTAMINATE = f"""
+WITH tsh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {DECON_K}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(toks) - {DECON_K - 1}),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+), ev AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM tsh WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT t.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM tsh) t
+  JOIN ev USING (shingle)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(h.n_overlap, 0) >= {DECON_MIN_OVERLAP} AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 RESIZE_W, RESIZE_H = 5, 4
 
 
@@ -2900,6 +2947,7 @@ QUERIES = {
     "media_ppm_decode": q_media_ppm_decode,
     "media_wav_decode": q_media_wav_decode,
     "media_ppm_resize": q_media_ppm_resize,
+    "decontaminate": q_decontaminate,
     # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
 }
@@ -2968,6 +3016,7 @@ ORACLE_SQL = {
     "media_ppm_decode": ORACLE_MEDIA_PPM_DECODE,
     "media_wav_decode": ORACLE_MEDIA_WAV_DECODE,
     "media_ppm_resize": ORACLE_MEDIA_PPM_RESIZE,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "incremental_near_dup": _oracle_incremental_near_dup(),
