@@ -43,7 +43,7 @@ BATTERY = [
     "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_canonical", "corpus_curation", "ann_topk",
     "embedding_near_dup_srp", "connected_components",
-    "incremental_near_dup",
+    "incremental_near_dup", "curation_gate", "decontaminate",
 ]
 
 
