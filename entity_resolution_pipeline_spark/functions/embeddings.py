@@ -61,9 +61,39 @@ def embed_text(df: DataFrame, text_col: str = "text_norm", id_col: str = "url",
 def hash_embedding_col(text: Column, dim: int = 16) -> Column:
     """Fully-native hash embedding: per-bucket signed token counts,
     L2-normalized. Engine-portable (md5-based) and codegen-friendly —
-    the zero-Python variant of the stand-in encoder."""
-    toks = F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda t: t != "")
-    hashed = F.transform(
+    the zero-Python variant of the stand-in encoder.
+
+    Every intermediate array is BOUND via single-element transform
+    (hashing._bind idiom): the original per-dimension lambda closed over
+    the unbound token-hash subtree, re-splitting + re-md5-ing the text
+    once per output dimension (dim×), and the norm/branch structure
+    re-evaluated the whole dim-loop 2-3× more. Identical output."""
+    from .hashing import _bind
+
+    toks = F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"),
+                    lambda t: t != "")
+
+    def _with_hashed(hashed: Column) -> Column:
+        raw0 = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.aggregate(
+                hashed, F.lit(0.0),
+                lambda acc, h: acc + F.when(h.getField("idx") == i,
+                                            h.getField("sgn"))
+                                      .otherwise(F.lit(0.0)),
+            ),
+        )
+
+        def _with_raw(raw: Column) -> Column:
+            norm0 = F.sqrt(F.aggregate(F.transform(raw, lambda x: x * x),
+                                       F.lit(0.0), lambda a, x: a + x))
+            return _bind(norm0, lambda norm: F.when(
+                norm > 0, F.transform(raw, lambda x: F.round(x / norm, 6))
+            ).otherwise(raw))
+
+        return _bind(raw0, _with_raw)
+
+    hashed0 = F.transform(
         toks,
         lambda t: F.struct(
             F.pmod(F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
@@ -73,15 +103,4 @@ def hash_embedding_col(text: Column, dim: int = 16) -> Column:
                        F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("sgn"),
         ),
     )
-    raw = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.aggregate(
-            hashed, F.lit(0.0),
-            lambda acc, h: acc + F.when(h.getField("idx") == i, h.getField("sgn"))
-                                  .otherwise(F.lit(0.0)),
-        ),
-    )
-    norm = F.sqrt(F.aggregate(F.transform(raw, lambda x: x * x), F.lit(0.0),
-                              lambda a, x: a + x))
-    return F.when(norm > 0, F.transform(raw, lambda x: F.round(x / norm, 6))) \
-            .otherwise(raw)
+    return _bind(hashed0, _with_hashed)
