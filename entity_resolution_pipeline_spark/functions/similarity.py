@@ -147,12 +147,27 @@ def cosine_col(a: Column, b: Column) -> Column:
     no UDF, no sidecar matrix (contrast reference mmap gather,
     /root/reference/src/features.py:825-866).
     """
-    ad = F.transform(a, lambda x: x.cast("double"))
-    bd = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+    from .hashing import _bind
+
+    def _with(ad: Column, bd: Column) -> Column:
+        # fold order is part of the spec: oracles reproduce these doubles
+        # bit-for-bit, so binding must not reorder the arithmetic (it
+        # doesn't — it only stops the cast arrays evaluating twice each)
+        dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        stats = F.struct(dot.alias("dot"), na.alias("na"), nb.alias("nb"))
+        return _bind(stats, lambda s: F.when(
+            (s["na"] > 0) & (s["nb"] > 0),
+            s["dot"] / (s["na"] * s["nb"])).otherwise(F.lit(0.0)))
+
+    return _bind(
+        F.transform(a, lambda x: x.cast("double")),
+        lambda ad: _bind(F.transform(b, lambda x: x.cast("double")),
+                         lambda bd: _with(ad, bd)))
 
 
 # --- SRP projection (Arrow-batched numpy matmul) ------------------------------
