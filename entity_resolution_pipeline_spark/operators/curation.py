@@ -1,0 +1,125 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The library home of the per-document keep/drop gate and the fixed-window
+chunker (battery rows ``curation_gate`` / ``docs_chunk`` exercise them
+standalone; ``training_corpus`` composes them with fuzzy dedup and
+decontamination into the full end-to-end flow a 100 TB curation job runs).
+Everything here is a zero-shuffle native projection — see PLANS.md
+"Curation battery rows are shuffle-free map work".
+
+No reference analog (the reference is an ER system); these are the
+LLM-pipeline extensions graded alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GATE_MIN_QUALITY = 0.65   # corpus-median quality floor (see curation_gate)
+GATE_DUP_WORD_PCT = 55    # duplicate-word fraction cap, in percent
+GATE_TOP_WORD_X = 10      # top-word fraction cap = 1 / GATE_TOP_WORD_X
+
+CHUNK_SIZE = 32           # words per training chunk
+CHUNK_STRIDE = 24         # overlap = CHUNK_SIZE - CHUNK_STRIDE = 8 words
+
+
+def curation_flags(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document keep/drop gate: language-ID == en, quality floor, and
+    Gopher-style repetition caps as INTEGER cross-multiplications of the
+    exact counts (no float division can drift between engines). Each flag
+    is emitted alongside the conjunction so oracles verify every rule."""
+    from ..functions.textstats import (
+        lang_id_col, quality_score_col, repetition_counts_col,
+    )
+
+    d = docs.select(
+        F.col(id_col),
+        lang_id_col(F.col(text_col)).alias("lang_pred"),
+        quality_score_col(F.col(text_col)).alias("quality"),
+        repetition_counts_col(F.col(text_col)).alias("r"),
+    )
+    d = d.select(
+        id_col,
+        (F.col("lang_pred") == "en").alias("lang_ok"),
+        (F.col("quality") >= F.lit(GATE_MIN_QUALITY)).alias("quality_ok"),
+        (((F.col("r.total_words") - F.col("r.distinct_words")) * 100
+          <= F.col("r.total_words") * GATE_DUP_WORD_PCT)
+         & (F.col("r.top_word_count") * GATE_TOP_WORD_X
+            <= F.col("r.total_words"))).alias("repetition_ok"),
+    )
+    return d.select(
+        id_col, "lang_ok", "quality_ok", "repetition_ok",
+        (F.col("lang_ok") & F.col("quality_ok")
+         & F.col("repetition_ok")).alias("keep"),
+    )
+
+
+def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,
+                    carry: tuple[str, ...] = ()) -> DataFrame:
+    """Fixed-window chunking with overlap — one posexplode over a per-row
+    transform(sequence(...)), so the fan-out never shuffles. Short docs
+    produce exactly one (possibly short) chunk; the tail partial window is
+    kept. ``carry`` columns ride along unchanged."""
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.floor((n - size + stride - 1) / stride).cast("int") + 1)
+    d = docs.select(id_col, *carry, w.alias("w"), n_chunks.alias("nc"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("nc") - 1),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(F.col("w"), i * stride + 1, size))
+            .alias("t"),
+            F.size(F.slice(F.col("w"), i * stride + 1, size))
+            .cast("long").alias("n"),
+        ),
+    )
+    d = d.select(id_col, *carry, F.posexplode(chunks).alias("chunk_id", "c"))
+    return d.select(
+        id_col, *carry,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.t").alias("chunk_text"),
+        F.col("c.n").alias("n_words"),
+    )
+
+
+def training_corpus(docs: DataFrame, eval_docs: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    source_col: str = "source",
+                    stop_threshold: int | None = None) -> DataFrame:
+    """THE end-to-end training-data pipeline: fuzzy-dedup keepers ∩ not
+    benchmark-contaminated ∩ curation-gate keep → overlap-chunk → per-source
+    corpus budget (docs, chunks, words). At 100 TB this is one corpus scan
+    for the gate (zero-shuffle projections), the bucketed LSH dedup, the
+    broadcast decontamination join, a map-side chunk fan-out, and ONE final
+    aggregation on source."""
+    from .dedup import contamination_flags, fuzzy_dedup
+
+    keepers = (
+        fuzzy_dedup(docs, id_col, text_col, k=3, n_bands=4, threshold=0.7,
+                    stop_threshold=stop_threshold)
+        .where("is_keeper")
+        .select(F.col("id").cast("long").alias(id_col))
+    )
+    clean = (
+        contamination_flags(docs, eval_docs, id_col, text_col)
+        .where(~F.col("contaminated")).select(id_col)
+    )
+    gated = curation_flags(docs, id_col, text_col) \
+        .where("keep").select(id_col)
+    kept = (
+        docs.select(id_col, source_col, text_col)
+        .join(keepers, id_col)
+        .join(clean, id_col)
+        .join(gated, id_col)
+    )
+    chunks = chunk_documents(kept, id_col, text_col, carry=(source_col,))
+    return chunks.groupBy(source_col).agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("n_words").alias("n_words"),
+    )

@@ -34,6 +34,10 @@ from ..functions.textstats import (
     quality_score_col, token_count_col,
 )
 from ..operators.ann import brute_force_topk, ivf_topk
+from ..operators.curation import (
+    CHUNK_SIZE, CHUNK_STRIDE, GATE_MIN_QUALITY,
+    chunk_documents, curation_flags, training_corpus,
+)
 from ..operators.dedup import (
     fuzzy_dedup, lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
     shingle_table, simhash_table,
@@ -742,7 +746,6 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 
 
 CURATION_MIN_QUALITY = 0.4
-GATE_MIN_QUALITY = 0.65  # curation_gate floor: corpus median quality
 
 
 def q_corpus_curation(spark, sf_dir):
@@ -2551,32 +2554,8 @@ def q_curation_gate(spark, sf_dir):
     INTEGER cross-multiplications of the exact counts, so no float
     division can drift between engines; each flag is emitted alongside
     the conjunction so the oracle hash verifies every rule, not just the
-    final keep bit."""
-    from ..functions.textstats import (
-        lang_id_col, quality_score_col, repetition_counts_col,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        lang_id_col(F.col("text")).alias("lang_pred"),
-        quality_score_col(F.col("text")).alias("quality"),
-        repetition_counts_col(F.col("text")).alias("r"),
-    )
-    d = d.select(
-        "doc_id",
-        (F.col("lang_pred") == "en").alias("lang_ok"),
-        (F.col("quality") >= F.lit(GATE_MIN_QUALITY)).alias("quality_ok"),
-        (((F.col("r.total_words") - F.col("r.distinct_words")) * 100
-          <= F.col("r.total_words") * 55)
-         & (F.col("r.top_word_count") * 10 <= F.col("r.total_words"))
-         ).alias("repetition_ok"),
-    )
-    return d.select(
-        "doc_id", "lang_ok", "quality_ok", "repetition_ok",
-        (F.col("lang_ok") & F.col("quality_ok")
-         & F.col("repetition_ok")).alias("keep"),
-    )
+    final keep bit. Library home: operators/curation.py:curation_flags."""
+    return curation_flags(_t(spark, sf_dir, "documents"))
 
 
 def _oracle_curation_gate() -> str:
@@ -2600,10 +2579,6 @@ SELECT doc_id, lang_ok, quality_ok, repetition_ok,
 FROM flags
 """
 
-CHUNK_SIZE = 32   # words per training chunk
-CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 8 words
-
-
 def q_docs_chunk(spark, sf_dir):
     """Fixed-window document chunking with overlap — the sample-prep step
     between curation and tokenization in a training-data pipeline (pack
@@ -2611,32 +2586,9 @@ def q_docs_chunk(spark, sf_dir):
     per-row transform(sequence(...)) — the chunk fan-out never shuffles,
     so at 100 TB it stays a map-side expansion the parquet sink absorbs.
     Short docs produce exactly one (possibly short) chunk; the final
-    partial window is kept (n_words < 32 on the tail chunk)."""
-    docs = _t(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    n = F.size(w)
-    n_chunks = F.when(n <= CHUNK_SIZE, F.lit(1)).otherwise(
-        F.floor((n - CHUNK_SIZE + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("int")
-        + 1)
-    d = docs.select("doc_id", w.alias("w"), n_chunks.alias("nc"))
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.col("nc") - 1),
-        lambda i: F.struct(
-            F.concat_ws(
-                " ", F.slice(F.col("w"), i * CHUNK_STRIDE + 1, CHUNK_SIZE),
-            ).alias("t"),
-            F.size(
-                F.slice(F.col("w"), i * CHUNK_STRIDE + 1, CHUNK_SIZE),
-            ).cast("long").alias("n"),
-        ),
-    )
-    d = d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
-    return d.select(
-        "doc_id",
-        F.col("chunk_id").cast("int").alias("chunk_id"),
-        F.col("c.t").alias("chunk_text"),
-        F.col("c.n").alias("n_words"),
-    )
+    partial window is kept (n_words < 32 on the tail chunk). Library
+    home: operators/curation.py:chunk_documents."""
+    return chunk_documents(_t(spark, sf_dir, "documents"))
 
 
 ORACLE_DOCS_CHUNK = """
@@ -2758,6 +2710,43 @@ SELECT d.doc_id,
        CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
        coalesce(h.n_overlap, 0) >= {DECON_MIN_OVERLAP} AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_training_corpus(spark, sf_dir):
+    """THE end-to-end training-data-prep pipeline (capstone of the
+    curation family): fuzzy-dedup keepers ∩ not-benchmark-contaminated
+    ∩ curation-gate keep → overlap-chunk → per-source corpus budget
+    (docs, chunks, words). Composes fuzzy_dedup, contamination_flags,
+    curation_flags, and chunk_documents exactly the way a 100 TB job
+    chains them: one zero-shuffle corpus scan for the gate, the bucketed
+    LSH dedup, a broadcast decontamination join, a map-side chunk
+    fan-out, and ONE final aggregation on source. Library home:
+    operators/curation.py:training_corpus."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    return training_corpus(docs, eval_docs, stop_threshold=LSH_STOP)
+
+
+def _oracle_training_corpus() -> str:
+    return f"""
+WITH dedup AS ({_oracle_dedup_canonical(4, 0.7)}),
+decon AS ({ORACLE_DECONTAMINATE}),
+gate AS ({_oracle_curation_gate()}),
+chunks AS ({ORACLE_DOCS_CHUNK}),
+kept AS (
+  SELECT d.doc_id, d.source
+  FROM documents d
+  JOIN dedup dd ON d.doc_id = dd.doc_id AND dd.is_keeper
+  JOIN decon dc ON d.doc_id = dc.doc_id AND NOT dc.contaminated
+  JOIN gate g ON d.doc_id = g.doc_id AND g.keep
+)
+SELECT k.source,
+       COUNT(DISTINCT k.doc_id) AS n_docs,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(c.n_words) AS BIGINT) AS n_words
+FROM kept k JOIN chunks c USING (doc_id)
+GROUP BY k.source
 """
 
 
@@ -2948,6 +2937,7 @@ QUERIES = {
     "media_wav_decode": q_media_wav_decode,
     "media_ppm_resize": q_media_ppm_resize,
     "decontaminate": q_decontaminate,
+    "training_corpus": q_training_corpus,
     # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
 }
@@ -3017,6 +3007,7 @@ ORACLE_SQL = {
     "media_wav_decode": ORACLE_MEDIA_WAV_DECODE,
     "media_ppm_resize": ORACLE_MEDIA_PPM_RESIZE,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "training_corpus": _oracle_training_corpus(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "incremental_near_dup": _oracle_incremental_near_dup(),

@@ -1,0 +1,85 @@
+"""Curation-library tests: gate conjunction, chunk carry columns, and the
+training_corpus end-to-end accounting (battery row ``training_corpus`` is
+the oracle-checked twin; these pin the library seams it composes)."""
+
+from pyspark.sql import functions as F
+
+from entity_resolution_pipeline_spark.operators.curation import (
+    chunk_documents, curation_flags, training_corpus,
+)
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_TINY}/documents.parquet")
+
+
+def test_curation_flags_conjunction_and_split(spark):
+    """keep is exactly the AND of the three flags, and at sf0.001 every
+    flag genuinely splits the corpus (thresholds sit at corpus medians —
+    a gate that keeps or drops everything tests nothing)."""
+    rows = curation_flags(_docs(spark)).collect()
+    assert rows, "gate produced no rows"
+    for r in rows:
+        assert r["keep"] == (
+            r["lang_ok"] and r["quality_ok"] and r["repetition_ok"])
+    for flag in ("lang_ok", "quality_ok", "repetition_ok", "keep"):
+        vals = {r[flag] for r in rows}
+        assert vals == {True, False}, f"{flag} does not split: {vals}"
+
+
+def test_chunk_documents_carry_columns(spark):
+    """carry columns ride along unchanged on every chunk of a doc."""
+    docs = _docs(spark).limit(50)
+    out = chunk_documents(docs, carry=("source", "lang"))
+    src = {r["doc_id"]: (r["source"], r["lang"])
+           for r in docs.select("doc_id", "source", "lang").collect()}
+    chunks = out.collect()
+    assert chunks
+    for r in chunks:
+        assert (r["source"], r["lang"]) == src[r["doc_id"]]
+    # every input doc produced >= 1 chunk
+    assert {r["doc_id"] for r in chunks} == set(src)
+
+
+def test_training_corpus_accounting(spark):
+    """Per-source budgets equal a driver-side recomposition over the kept
+    set: the join chain admits exactly keepers ∩ clean ∩ gated, and the
+    chunk/word sums aggregate the same chunk rows."""
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        contamination_flags, fuzzy_dedup,
+    )
+
+    docs = _docs(spark)
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+
+    out = {r["source"]: (r["n_docs"], r["n_chunks"], r["n_words"])
+           for r in training_corpus(docs, eval_docs).collect()}
+    assert out, "empty corpus budget"
+
+    keepers = {int(r["id"]) for r in
+               fuzzy_dedup(docs, "doc_id", "text", k=3, n_bands=4,
+                           threshold=0.7).where("is_keeper")
+               .select("id").collect()}
+    clean = {r["doc_id"] for r in
+             contamination_flags(docs, eval_docs)
+             .where(~F.col("contaminated")).select("doc_id").collect()}
+    gated = {r["doc_id"] for r in
+             curation_flags(docs).where("keep").select("doc_id").collect()}
+    kept = keepers & clean & gated
+    assert kept, "composition admitted nothing at sf0.001"
+    # something must be dropped by each gate for the test to mean anything
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert keepers < all_ids and clean < all_ids and gated < all_ids
+
+    chunks = chunk_documents(
+        docs.where(F.col("doc_id").isin(list(kept))), carry=("source",)
+    ).collect()
+    expect = {}
+    for r in chunks:
+        d, c, w = expect.setdefault(r["source"], [set(), 0, 0])
+        d.add(r["doc_id"])
+        expect[r["source"]][1] = c + 1
+        expect[r["source"]][2] = w + r["n_words"]
+    assert out == {s: (len(d), c, w) for s, (d, c, w) in expect.items()}
