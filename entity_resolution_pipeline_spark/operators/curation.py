@@ -13,7 +13,7 @@ LLM-pipeline extensions graded alongside SURVEY.md §2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 GATE_MIN_QUALITY = 0.65   # corpus-median quality floor (see curation_gate)
@@ -122,4 +122,117 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
         F.countDistinct(id_col).alias("n_docs"),
         F.count("*").alias("n_chunks"),
         F.sum("n_words").alias("n_words"),
+    )
+
+
+# --- Corpus analysis + sample prep ------------------------------------------------
+
+PACK_BUDGET = 64          # words per packed training sequence
+PACK_SHARDS = 8           # independent packing shards (= writer tasks at scale)
+
+
+def _tokens(text_col):
+    """lower → split on whitespace → drop empties (the shared corpus
+    tokenization; mirrors the decontamination / vocab oracles verbatim)."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+
+
+def corpus_length_stats(docs: DataFrame, source_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Per-source document-length distribution (EXACT p50/p90/p99 token
+    counts + mean) — the profiling pass that sizes chunking and packing
+    budgets before a training run. Exact `percentile` (not approx) so the
+    DuckDB `quantile_cont` oracle matches bit-for-bit after rounding; at
+    100 TB the per-group sort is bounded by the largest source, and the
+    map side reduces each doc to ONE long before the single exchange."""
+    d = docs.select(source_col, F.size(_tokens(F.col(text_col)))
+                    .cast("long").alias("n_tokens"))
+    return d.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_tokens", 0.5), 4).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", 0.9), 4).alias("p90_tokens"),
+        F.round(F.percentile("n_tokens", 0.99), 4).alias("p99_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+    )
+
+
+def build_vocab(docs: DataFrame, top_n: int = 200,
+                text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-N words by frequency with a total
+    deterministic order (count DESC, word ASC) and a 1-based rank — the
+    counting pass a tokenizer/BPE training job runs first. The classic
+    map-side-combined wordcount: explode → partial+final count; the top-N
+    is TakeOrdered (distributed partial top-N per partition), NEVER a
+    single-partition global sort — only the ≤N survivors see the final
+    row_number window."""
+    counts = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return counts.select(
+        F.row_number().over(w).cast("int").alias("rank"), "word", "n")
+
+
+DOMAIN_MIN_DOCS = 25        # domain volume floor (splits the testdata domains)
+DOMAIN_MIN_QUALITY = 0.655  # domain mean-quality floor (sits at the median)
+
+
+def domain_stats(docs_with_url: DataFrame, url_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """Domain-level curation (the crawl-side filter that runs BEFORE any
+    per-document gate): group by eTLD+1, emit volume + mean quality and
+    the two floor flags — real webtext pipelines drop whole domains, not
+    just documents. One projection for (etld1, quality), one exchange on
+    the domain key; both flags emitted so the oracle verifies each rule."""
+    from ..functions.domains import etld1_col
+    from ..functions.textstats import quality_score_col
+
+    d = docs_with_url.select(
+        etld1_col(F.col(url_col)).alias("etld1"),
+        quality_score_col(F.col(text_col)).alias("quality"),
+    )
+    g = d.groupBy("etld1").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+    return g.select(
+        "etld1", "n_docs", "avg_quality",
+        (F.col("n_docs") >= DOMAIN_MIN_DOCS).alias("volume_ok"),
+        (F.col("avg_quality") >= DOMAIN_MIN_QUALITY).alias("quality_ok"),
+        ((F.col("n_docs") >= DOMAIN_MIN_DOCS)
+         & (F.col("avg_quality") >= DOMAIN_MIN_QUALITY)).alias("keep"),
+    )
+
+
+def pack_sequences(chunks: DataFrame, id_col: str = "doc_id",
+                   budget: int = PACK_BUDGET,
+                   shards: int = PACK_SHARDS) -> DataFrame:
+    """Pack curation chunks into fixed-budget training sequences:
+    md5-shard each doc, order chunks (doc_id, chunk_id) within the shard,
+    and assign every chunk to the sequence containing its starting word
+    offset (seq_id = floor(running_offset / budget)) — the streaming
+    concat-then-split packing tokenizer pipelines use. Packing is per
+    SHARD, not global: each shard is one writer task's window at scale,
+    so parallelism = shards and no global sort exists. Output is
+    sequence-level (n_chunks, n_words, fill vs budget)."""
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("pack:"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % shards
+    ).cast("int")
+    d = chunks.select(shard.alias("shard"), id_col, "chunk_id", "n_words")
+    w = (Window.partitionBy("shard").orderBy(id_col, "chunk_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = d.select(
+        "shard", "n_words",
+        F.floor(F.coalesce(F.sum("n_words").over(w), F.lit(0)) / budget)
+        .cast("long").alias("seq_id"),
+    )
+    return d.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_words").alias("n_words"),
+        F.round(F.sum("n_words") / F.lit(float(budget)), 4).alias("fill"),
     )

@@ -35,8 +35,10 @@ from ..functions.textstats import (
 )
 from ..operators.ann import brute_force_topk, ivf_topk
 from ..operators.curation import (
-    CHUNK_SIZE, CHUNK_STRIDE, GATE_MIN_QUALITY,
-    chunk_documents, curation_flags, training_corpus,
+    CHUNK_SIZE, CHUNK_STRIDE, DOMAIN_MIN_DOCS, DOMAIN_MIN_QUALITY,
+    GATE_MIN_QUALITY, PACK_BUDGET, PACK_SHARDS,
+    build_vocab, chunk_documents, corpus_length_stats, curation_flags,
+    domain_stats, pack_sequences, training_corpus,
 )
 from ..operators.dedup import (
     fuzzy_dedup, lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
@@ -2750,6 +2752,122 @@ GROUP BY k.source
 """
 
 
+def q_corpus_length_stats(spark, sf_dir):
+    """Per-source EXACT token-length distribution (p50/p90/p99 + mean) —
+    the profiling pass that sizes chunk/pack budgets. Exact percentile so
+    the DuckDB quantile_cont oracle matches after rounding. Library:
+    operators/curation.py:corpus_length_stats."""
+    return corpus_length_stats(_t_wide(spark, sf_dir, "documents"))
+
+
+ORACLE_CORPUS_LENGTH_STATS = r"""
+WITH t AS (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+       round(quantile_cont(n_tokens, 0.99), 4) AS p99_tokens,
+       round(AVG(n_tokens), 4) AS mean_tokens
+FROM t GROUP BY source
+"""
+
+VOCAB_TOP_N = 200
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary build (tokenizer/BPE prep): top-200 words by
+    frequency, total deterministic order (count DESC, word ASC), 1-based
+    rank. Map-side-combined wordcount + TakeOrdered — no global sort.
+    Library: operators/curation.py:build_vocab."""
+    return build_vocab(_t_wide(spark, sf_dir, "documents"), VOCAB_TOP_N)
+
+
+ORACLE_VOCAB_TOPK = rf"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), c AS (
+  SELECT word, COUNT(*) AS n FROM w GROUP BY word
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS INTEGER) AS rank,
+       word, n
+FROM c ORDER BY n DESC, word ASC LIMIT {VOCAB_TOP_N}
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Domain-level curation over the deterministic per-doc URLs (same
+    scheme as url_domains): group by eTLD+1, volume + mean-quality floors
+    as separate flags — webtext pipelines drop whole domains before any
+    per-document gate. Library: operators/curation.py:domain_stats."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    mm = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www.site"), mm, F.lit(".co.uk/p/1?q=2")))
+        .when(m == 1, F.concat(F.lit("http://sub.host"), mm, F.lit(".example.org:8080/x")))
+        .otherwise(F.concat(F.lit("https://cdn"), mm, F.lit(".io")))
+    )
+    return domain_stats(docs.withColumn("url", url))
+
+
+def _oracle_domain_stats() -> str:
+    return f"""
+WITH dom AS ({ORACLE_URL_DOMAINS}),
+qual AS ({ORACLE_DOCS_QUALITY}),
+g AS (
+  SELECT d.etld1, COUNT(*) AS n_docs, round(AVG(q.quality), 4) AS avg_quality
+  FROM dom d JOIN qual q USING (doc_id)
+  GROUP BY d.etld1
+)
+SELECT etld1, n_docs, avg_quality,
+       n_docs >= {DOMAIN_MIN_DOCS} AS volume_ok,
+       avg_quality >= {DOMAIN_MIN_QUALITY} AS quality_ok,
+       (n_docs >= {DOMAIN_MIN_DOCS}
+        AND avg_quality >= {DOMAIN_MIN_QUALITY}) AS keep
+FROM g
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (the sample-prep step after chunking): md5-shard
+    docs, order chunks within the shard, assign each chunk to the
+    sequence holding its running word offset (floor(offset/64)) — the
+    concat-then-split packing tokenizer pipelines run, parallel per
+    shard, no global sort. Sequence-level output (n_chunks, n_words,
+    fill). Library: operators/curation.py:pack_sequences."""
+    chunks = chunk_documents(_t(spark, sf_dir, "documents"))
+    return pack_sequences(chunks)
+
+
+def _oracle_pack_sequences() -> str:
+    return f"""
+WITH chunks AS ({ORACLE_DOCS_CHUNK}),
+sh AS (
+  SELECT CAST(CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % {PACK_SHARDS} AS INTEGER) AS shard,
+         doc_id, chunk_id, n_words
+  FROM chunks
+), o AS (
+  SELECT shard, n_words,
+         CAST(floor(COALESCE(SUM(n_words) OVER (
+                PARTITION BY shard ORDER BY doc_id, chunk_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {PACK_BUDGET}) AS BIGINT) AS seq_id
+  FROM sh
+)
+SELECT shard, seq_id, COUNT(*) AS n_chunks,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       round(SUM(n_words) / {float(PACK_BUDGET)}, 4) AS fill
+FROM o GROUP BY shard, seq_id
+"""
+
+
 RESIZE_W, RESIZE_H = 5, 4
 
 
@@ -2938,6 +3056,10 @@ QUERIES = {
     "media_ppm_resize": q_media_ppm_resize,
     "decontaminate": q_decontaminate,
     "training_corpus": q_training_corpus,
+    "corpus_length_stats": q_corpus_length_stats,
+    "vocab_topk": q_vocab_topk,
+    "domain_stats": q_domain_stats,
+    "pack_sequences": q_pack_sequences,
     # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
 }
@@ -3008,6 +3130,10 @@ ORACLE_SQL = {
     "media_ppm_resize": ORACLE_MEDIA_PPM_RESIZE,
     "decontaminate": ORACLE_DECONTAMINATE,
     "training_corpus": _oracle_training_corpus(),
+    "corpus_length_stats": ORACLE_CORPUS_LENGTH_STATS,
+    "vocab_topk": ORACLE_VOCAB_TOPK,
+    "domain_stats": _oracle_domain_stats(),
+    "pack_sequences": _oracle_pack_sequences(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "incremental_near_dup": _oracle_incremental_near_dup(),

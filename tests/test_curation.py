@@ -83,3 +83,47 @@ def test_training_corpus_accounting(spark):
         expect[r["source"]][1] = c + 1
         expect[r["source"]][2] = w + r["n_words"]
     assert out == {s: (len(d), c, w) for s, (d, c, w) in expect.items()}
+
+
+def test_build_vocab_order_and_counts(spark):
+    """Vocabulary is totally ordered (count DESC, word ASC), ranks are
+    1..N, and counts reconcile with an independent token count."""
+    from entity_resolution_pipeline_spark.operators.curation import build_vocab
+
+    docs = _docs(spark)
+    rows = build_vocab(docs, top_n=10).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r["n"], r["word"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert keys == sorted(keys)
+    total_tokens = docs.selectExpr(
+        "sum(size(filter(split(lower(text), '\\\\s+'), x -> x != ''))) s"
+    ).collect()[0]["s"]
+    assert 0 < sum(r["n"] for r in rows) <= total_tokens
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing conserves words, fills sequences near budget, and never
+    skips a seq_id within a shard; the assignment is deterministic."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        PACK_BUDGET, chunk_documents, pack_sequences,
+    )
+
+    chunks = chunk_documents(_docs(spark))
+    total = chunks.groupBy().sum("n_words").collect()[0][0]
+    rows = pack_sequences(chunks).collect()
+    assert sum(r["n_words"] for r in rows) == total
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 1, "sharding degenerate"
+    for shard, rs in by_shard.items():
+        seqs = sorted(r["seq_id"] for r in rs)
+        assert seqs == list(range(len(seqs))), f"shard {shard} gaps: {seqs}"
+        # every non-final sequence ends at/past the budget boundary: its
+        # last chunk STARTS inside the window, so only the tail may be short
+        for r in rs:
+            assert r["n_words"] < PACK_BUDGET + 32  # budget + max chunk size
+    again = {(r["shard"], r["seq_id"]): (r["n_chunks"], r["n_words"])
+             for r in pack_sequences(chunks).collect()}
+    assert again == {(r["shard"], r["seq_id"]): (r["n_chunks"], r["n_words"])
+                     for r in rows}
