@@ -44,6 +44,7 @@ BATTERY = [
     "dedup_canonical", "corpus_curation", "ann_topk",
     "embedding_near_dup_srp", "connected_components",
     "incremental_near_dup", "curation_gate", "decontaminate",
+    "training_corpus", "vocab_topk",
 ]
 
 
