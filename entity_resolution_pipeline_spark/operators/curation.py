@@ -96,17 +96,28 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
     corpus budget (docs, chunks, words). At 100 TB this is one corpus scan
     for the gate (zero-shuffle projections), the bucketed LSH dedup, the
     broadcast decontamination join, a map-side chunk fan-out, and ONE final
-    aggregation on source."""
-    from .dedup import contamination_flags, fuzzy_dedup
+    aggregation on source. The corpus is shingled exactly ONCE: a single
+    persisted shingle table is passed explicitly to the LSH/Jaccard phases
+    AND the decontamination probe. (Without the explicit handoff the
+    plan-identical subtrees are usually deduped by Spark's CacheManager
+    substitution anyway — but that silently breaks if k differs or column
+    pruning perturbs the subplan; passing the table makes the
+    single-tokenization guarantee structural, and its release
+    deterministic via ``_erps_persisted``.)"""
+    from pyspark import StorageLevel
 
+    from .dedup import contamination_flags, fuzzy_dedup, shingle_table
+
+    sh = shingle_table(docs, id_col, text_col, k=3) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     keepers = (
         fuzzy_dedup(docs, id_col, text_col, k=3, n_bands=4, threshold=0.7,
-                    stop_threshold=stop_threshold)
+                    stop_threshold=stop_threshold, shingles=sh)
         .where("is_keeper")
         .select(F.col("id").cast("long").alias(id_col))
     )
     clean = (
-        contamination_flags(docs, eval_docs, id_col, text_col)
+        contamination_flags(docs, eval_docs, id_col, text_col, shingles=sh)
         .where(~F.col("contaminated")).select(id_col)
     )
     gated = curation_flags(docs, id_col, text_col) \
@@ -118,11 +129,13 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
         .join(gated, id_col)
     )
     chunks = chunk_documents(kept, id_col, text_col, carry=(source_col,))
-    return chunks.groupBy(source_col).agg(
+    out = chunks.groupBy(source_col).agg(
         F.countDistinct(id_col).alias("n_docs"),
         F.count("*").alias("n_chunks"),
         F.sum("n_words").alias("n_words"),
     )
+    out._erps_persisted = [sh]
+    return out
 
 
 # --- Corpus analysis + sample prep ------------------------------------------------

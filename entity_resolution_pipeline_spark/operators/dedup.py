@@ -172,28 +172,39 @@ def ngram_jaccard_pairs(docs: DataFrame | None = None, pairs: DataFrame = None,
 def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 3,
                             n_bands: int = 8, threshold: float = 0.7,
-                            stop_threshold: int | None = None) -> DataFrame:
+                            stop_threshold: int | None = None,
+                            shingles: DataFrame | None = None) -> DataFrame:
     """LSH recall + exact Jaccard precision: the classic two-phase near-dup.
 
     One persisted shingle table serves both phases; the LSH stage persists
     its signature table internally. Both caches are attached to the result
     as ``_erps_persisted`` — call ``scoring.release_persisted`` after
     materializing (long-lived sessions running many dedups must not depend
-    on ContextCleaner timing).
+    on ContextCleaner timing). Pass a precomputed persisted ``shingles``
+    table (same ``k``!) when another stage in the same job also consumes
+    corpus shingles — e.g. decontamination — so the corpus is tokenized
+    and shingled exactly once; ownership (persist + release) then stays
+    with the caller.
     """
-    sh = shingle_table(docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    if shingles is not None:
+        sh, own = shingles, []
+    else:
+        sh = shingle_table(docs, id_col, text_col, k) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        own = [sh]
     cands = lsh_candidate_pairs(n_bands=n_bands, stop_threshold=stop_threshold,
                                 shingles=sh)
     verified = ngram_jaccard_pairs(pairs=cands, k=k, shingles=sh)
     out = verified.where(F.col("jaccard") >= threshold)
-    out._erps_persisted = [sh, *getattr(cands, "_erps_persisted", [])]
+    out._erps_persisted = [*own, *getattr(cands, "_erps_persisted", [])]
     return out
 
 
 def fuzzy_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", k: int = 3, n_bands: int = 8,
                 threshold: float = 0.7,
-                stop_threshold: int | None = None) -> DataFrame:
+                stop_threshold: int | None = None,
+                shingles: DataFrame | None = None) -> DataFrame:
     """End-to-end fuzzy dedup: every row labeled (id, dup_group, is_keeper).
 
     The capstone of the near-dup family — what a 100 TB training-data
@@ -214,7 +225,8 @@ def fuzzy_dedup(docs: DataFrame, id_col: str = "doc_id",
 
     edges = minhash_near_duplicates(docs, id_col, text_col, k=k,
                                     n_bands=n_bands, threshold=threshold,
-                                    stop_threshold=stop_threshold)
+                                    stop_threshold=stop_threshold,
+                                    shingles=shingles)
     nodes = docs.select(F.col(id_col).cast("string").alias("url"))
     labeled = assign_clusters(
         nodes,
@@ -412,7 +424,8 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
 
 def contamination_flags(train: DataFrame, eval_docs: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
-                        k: int = 3, min_overlap: int = 2) -> DataFrame:
+                        k: int = 3, min_overlap: int = 2,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Flag training docs sharing ≥ ``min_overlap`` distinct word
     k-shingles with ANY eval-set doc — the decontamination stage every
     LLM training pipeline runs before a benchmark release (no reference
@@ -422,15 +435,18 @@ def contamination_flags(train: DataFrame, eval_docs: DataFrame,
     distinct shingle set is broadcast; the train side streams through one
     broadcast hash join and only (id, hit) pairs — never text — reach the
     per-doc aggregation. The corpus is read once, shuffled once (on id,
-    post-join, hits only).
+    post-join, hits only). Pass a precomputed ``shingles`` table (id, sh;
+    same ``k``!) to share the corpus shingling with a dedup stage running
+    in the same job.
     """
     ev = (
         shingle_table(eval_docs, id_col, text_col, k)
         .select(F.explode("sh").alias("shingle"))
         .distinct()
     )
-    tr = shingle_table(train, id_col, text_col, k).select(
-        "id", F.explode("sh").alias("shingle"))
+    tr_sh = shingles if shingles is not None \
+        else shingle_table(train, id_col, text_col, k)
+    tr = tr_sh.select("id", F.explode("sh").alias("shingle"))
     # shingles_col is per-doc distinct, so count(*) == distinct overlaps
     hits = (
         tr.join(F.broadcast(ev), "shingle")
