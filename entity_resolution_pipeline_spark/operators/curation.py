@@ -249,3 +249,68 @@ def pack_sequences(chunks: DataFrame, id_col: str = "doc_id",
         F.sum("n_words").alias("n_words"),
         F.round(F.sum("n_words") / F.lit(float(budget)), 4).alias("fill"),
     )
+
+
+def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """CCNet-style LM quality signal: train add-one-smoothed bigram
+    statistics on the corpus itself, score every document by its
+    pseudo-perplexity exp(-avg ln P(w2|w1)) — the filter web-scale
+    pipelines run to rank documents by "looks like the reference corpus".
+
+    P(w2|w1) = (B(w1,w2) + 1) / (U(w1) + V): bigram/unigram counts with
+    add-one smoothing over vocabulary size V. Two count aggregations
+    train the LM (classic map-side-combined wordcounts); scoring is the
+    bigram-instance stream joined against the BROADCAST LM (CCNet LMs are
+    trained on a capped sample precisely so they broadcast; with an
+    unbounded LM the joins fall back to shuffle-on-token and would need
+    the same hot-key salting the blocking table uses — documented, not
+    built, since a capped LM is the production shape). Docs with < 2
+    tokens score NULL with n_bigrams = 0.
+
+    avg/ln/exp run on doubles in both engines; outputs are rounded
+    (logp 6dp, ppl 4dp) so IEEE summation-order differences cannot flip
+    the driver hash.
+    """
+    w = _tokens(F.col(text_col))
+    # bind the token array once (interpreted HOF lambdas have no CSE)
+    pairs = F.transform(
+        F.array(w),
+        lambda ww: F.zip_with(
+            F.slice(ww, 1, F.greatest(F.size(ww) - 1, F.lit(0))),
+            F.slice(ww, 2, F.greatest(F.size(ww) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"),
+                                  F.concat(a, F.lit(" "), b).alias("bg")),
+        ),
+    )[0]
+    inst = docs.select(F.col(id_col), F.explode(pairs).alias("p")) \
+               .select(id_col, F.col("p.w1").alias("w1"),
+                       F.col("p.bg").alias("bg"))
+
+    toks = docs.select(F.explode(w).alias("word"))
+    uni = toks.groupBy("word").agg(F.count("*").alias("u_n"))
+    big = inst.groupBy("bg").agg(F.count("*").alias("b_n"))
+    v = uni.count()  # scalar: vocabulary size (driver-side by design)
+
+    scored = (
+        inst.join(F.broadcast(big), "bg", "left")
+        .join(F.broadcast(uni), inst["w1"] == uni["word"])
+        .select(
+            id_col,
+            F.log((F.coalesce(F.col("b_n"), F.lit(0)) + F.lit(1))
+                  / (F.col("u_n") + F.lit(v))).alias("logp"),
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.avg("logp").alias("alp"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.round(F.col("alp"), 6).alias("avg_logp"),
+            F.round(F.exp(-F.col("alp")), 4).alias("perplexity"),
+        )
+    )

@@ -2868,6 +2868,50 @@ FROM o GROUP BY shard, seq_id
 """
 
 
+def q_docs_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality score: add-one-smoothed corpus bigram LM,
+    per-doc pseudo-perplexity. Library:
+    operators/curation.py:lm_perplexity."""
+    from ..operators.curation import lm_perplexity
+
+    return lm_perplexity(_t_wide(spark, sf_dir, "documents"))
+
+
+ORACLE_DOCS_LM_PERPLEXITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), inst AS (
+  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE len(toks) >= 2
+), uni AS (
+  SELECT word, COUNT(*) AS u_n
+  FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word
+), big AS (
+  SELECT bg, COUNT(*) AS b_n FROM inst GROUP BY bg
+), v AS (
+  SELECT COUNT(*) AS v_n FROM uni
+), score AS (
+  SELECT i.doc_id, COUNT(*) AS n_bigrams,
+         AVG(ln((coalesce(b.b_n, 0) + 1) * 1.0 / (u.u_n + v.v_n)))
+           AS alp
+  FROM inst i
+  LEFT JOIN big b USING (bg)
+  JOIN uni u ON i.w1 = u.word
+  CROSS JOIN v
+  GROUP BY i.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(s.alp, 6) AS avg_logp,
+       round(exp(-s.alp), 4) AS perplexity
+FROM documents d LEFT JOIN score s USING (doc_id)
+"""
+
+
 RESIZE_W, RESIZE_H = 5, 4
 
 
@@ -2989,6 +3033,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "corpus_length_stats": q_corpus_length_stats,
     "vocab_topk": q_vocab_topk,
+    "docs_lm_perplexity": q_docs_lm_perplexity,
     "domain_stats": q_domain_stats,
     "corpus_sample": q_corpus_sample,
     "decontaminate": q_decontaminate,
@@ -3133,6 +3178,7 @@ ORACLE_SQL = {
     "training_corpus": _oracle_training_corpus(),
     "corpus_length_stats": ORACLE_CORPUS_LENGTH_STATS,
     "vocab_topk": ORACLE_VOCAB_TOPK,
+    "docs_lm_perplexity": ORACLE_DOCS_LM_PERPLEXITY,
     "domain_stats": _oracle_domain_stats(),
     "pack_sequences": _oracle_pack_sequences(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,

@@ -127,3 +127,27 @@ def test_pack_sequences_invariants(spark):
              for r in pack_sequences(chunks).collect()}
     assert again == {(r["shard"], r["seq_id"]): (r["n_chunks"], r["n_words"])
                      for r in rows}
+
+
+def test_lm_perplexity_closed_form(spark):
+    """Hand-computed add-one bigram LM on a 3-doc corpus:
+    unigrams a:2 b:3 solo:1 (V=3); bigram instances 'a b','b a' (doc 1)
+    and 'b b' (doc 2), each with count 1."""
+    import math
+
+    from entity_resolution_pipeline_spark.operators.curation import lm_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b b"), (3, "solo")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+    # doc 1: P(a b)=(1+1)/(2+3)=0.4, P(b a)=(1+1)/(3+3)=1/3
+    alp1 = (math.log(0.4) + math.log(1 / 3)) / 2
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["avg_logp"] == round(alp1, 6)
+    assert rows[1]["perplexity"] == round(math.exp(-alp1), 4)
+    # doc 2: P(b b)=(1+1)/(3+3)=1/3 -> ppl 3.0
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["perplexity"] == 3.0
+    # doc 3: single token -> no bigrams, null score
+    assert rows[3]["n_bigrams"] == 0
+    assert rows[3]["avg_logp"] is None and rows[3]["perplexity"] is None
