@@ -1,11 +1,15 @@
 """Corpus-curation operators for training-data pipelines.
 
-The library home of the per-document keep/drop gate and the fixed-window
-chunker (battery rows ``curation_gate`` / ``docs_chunk`` exercise them
-standalone; ``training_corpus`` composes them with fuzzy dedup and
-decontamination into the full end-to-end flow a 100 TB curation job runs).
-Everything here is a zero-shuffle native projection — see PLANS.md
-"Curation battery rows are shuffle-free map work".
+The library home of the per-document keep/drop gate, the fixed-window
+chunker, and the corpus-analysis/sample-prep family (length percentiles,
+vocabulary build, domain-level curation, sequence packing, LM-perplexity
+scoring). Battery rows ``curation_gate`` / ``docs_chunk`` / etc. exercise
+them standalone; ``training_corpus`` composes the gate + chunker with
+fuzzy dedup and decontamination into the full end-to-end flow a 100 TB
+curation job runs. The per-document signals are zero-shuffle native
+projections; the corpus-level operators pay exactly one exchange each —
+see PLANS.md "Curation battery rows are shuffle-free map work" and
+"Corpus-analysis + packing rows".
 
 No reference analog (the reference is an ER system); these are the
 LLM-pipeline extensions graded alongside SURVEY.md §2.
@@ -312,5 +316,53 @@ def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
             .alias("n_bigrams"),
             F.round(F.col("alp"), 6).alias("avg_logp"),
             F.round(F.exp(-F.col("alp")), 4).alias("perplexity"),
+        )
+    )
+
+
+DUP_SPAN_K = 5   # n-gram width for the duplicated-span signal
+
+
+def dup_span_fraction(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      k: int = DUP_SPAN_K) -> DataFrame:
+    """RefinedWeb-style duplicated-span signal: for each document, the
+    fraction of its distinct word k-shingles that also occur in at least
+    one OTHER document — the per-doc diagnostic behind exact-substring
+    dedup decisions (a doc whose spans are mostly corpus-shared is
+    boilerplate or a copy even when no single pair-level match fires).
+
+    One exchange for the shingle→doc-frequency count (map-side combined),
+    one broadcast-free join back on the shingle key, one per-doc
+    aggregation. Integer outputs (n_shingles, n_shared) plus the rounded
+    fraction so the oracle verifies the counts, not just the ratio.
+    """
+    from ..functions.hashing import shingles_col
+
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.lower(F.col(text_col)), k)).alias("shingle"),
+    )
+    freq = sh.groupBy("shingle").agg(F.countDistinct("id").alias("df"))
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(per_doc, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long")
+            .alias("n_shingles"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+            .alias("n_shared"),
+            F.when(F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+                   F.round(F.col("n_shared") / F.col("n_shingles"), 6))
+            .alias("dup_span_frac"),
         )
     )

@@ -2912,6 +2912,54 @@ FROM documents d LEFT JOIN score s USING (doc_id)
 """
 
 
+DUP_SPAN_K = 5
+
+
+def q_docs_dup_span(spark, sf_dir):
+    """RefinedWeb-style duplicated-span signal: per-doc fraction of
+    distinct word 5-shingles shared with at least one other document.
+    Library: operators/curation.py:dup_span_fraction."""
+    from ..operators.curation import dup_span_fraction
+
+    return dup_span_fraction(_t_wide(spark, sf_dir, "documents"),
+                             k=DUP_SPAN_K)
+
+
+# shingle CTE mirrors hashing.shingles_col at k=5 (lower, split \s+, drop
+# empties, per-doc distinct; n<k degrades to the whole-doc token string)
+ORACLE_DOCS_DUP_SPAN = r"""
+WITH tsh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(toks) - 4),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4]))
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM tsh
+), freq AS (
+  SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY shingle
+), per AS (
+  SELECT e.doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM ex e JOIN freq f USING (shingle) GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN coalesce(p.n_shingles, 0) > 0
+            THEN round(p.n_shared * 1.0 / p.n_shingles, 6) END
+         AS dup_span_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 RESIZE_W, RESIZE_H = 5, 4
 
 
@@ -3034,6 +3082,7 @@ QUERIES = {
     "corpus_length_stats": q_corpus_length_stats,
     "vocab_topk": q_vocab_topk,
     "docs_lm_perplexity": q_docs_lm_perplexity,
+    "docs_dup_span": q_docs_dup_span,
     "domain_stats": q_domain_stats,
     "corpus_sample": q_corpus_sample,
     "decontaminate": q_decontaminate,
@@ -3179,6 +3228,7 @@ ORACLE_SQL = {
     "corpus_length_stats": ORACLE_CORPUS_LENGTH_STATS,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "docs_lm_perplexity": ORACLE_DOCS_LM_PERPLEXITY,
+    "docs_dup_span": ORACLE_DOCS_DUP_SPAN,
     "domain_stats": _oracle_domain_stats(),
     "pack_sequences": _oracle_pack_sequences(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,

@@ -151,3 +151,21 @@ def test_lm_perplexity_closed_form(spark):
     # doc 3: single token -> no bigrams, null score
     assert rows[3]["n_bigrams"] == 0
     assert rows[3]["avg_logp"] is None and rows[3]["perplexity"] is None
+
+
+def test_dup_span_fraction_closed_form(spark):
+    """k=5 shingles: docs 1/2 share exactly 'a b c d e' (1 of 2 shingles
+    each -> frac 0.5); a short doc degrades to its whole-token shingle."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        dup_span_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dup_span_fraction(df, k=5).collect()}
+    assert (rows[1]["n_shingles"], rows[1]["n_shared"]) == (2, 1)
+    assert rows[1]["dup_span_frac"] == 0.5
+    assert (rows[2]["n_shingles"], rows[2]["n_shared"]) == (2, 1)
+    assert (rows[3]["n_shingles"], rows[3]["n_shared"]) == (1, 0)
+    assert rows[3]["dup_span_frac"] == 0.0
