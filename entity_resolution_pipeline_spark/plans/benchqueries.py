@@ -2128,6 +2128,31 @@ def q_stream_sessionize(spark, sf_dir):
         query_name=f"sess_{uuid.uuid4().hex[:8]}")
 
 
+def q_stream_curation(spark, sf_dir):
+    """Ingest-side curation as a foreachBatch stream
+    (streaming/incremental.py:stream_curate_documents): documents land as
+    a file-source stream, each micro-batch runs the per-doc curation gate
+    and chunks the keepers into overlap windows, committed to batch-keyed
+    idempotent sinks. Pure map work per batch (no corpus state), so the
+    stream equals the batch plan — which is exactly what the oracle
+    expresses (gate CTE ∩ chunk CTE)."""
+    from ..streaming.incremental import stream_curate_documents
+
+    return stream_curate_documents(
+        spark, f"{sf_dir}/documents.parquet", timeout_s=240)
+
+
+def _oracle_stream_curation() -> str:
+    return f"""
+WITH gate AS ({_oracle_curation_gate()}),
+chunks AS ({ORACLE_DOCS_CHUNK})
+SELECT c.doc_id, d.source, c.chunk_id, c.chunk_text, c.n_words
+FROM chunks c
+JOIN gate g ON c.doc_id = g.doc_id AND g.keep
+JOIN documents d ON c.doc_id = d.doc_id
+"""
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Incremental delta-vs-corpus near-dup as a foreachBatch stream
     (streaming/incremental.py): the corpus (doc_id % 4 != 0) becomes static
@@ -3073,6 +3098,7 @@ QUERIES = {
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "stream_sessionize": q_stream_sessionize,
     "incremental_near_dup": q_incremental_near_dup,
+    "stream_curation": q_stream_curation,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
     "corpus_curation": q_corpus_curation,
@@ -3234,5 +3260,6 @@ ORACLE_SQL = {
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "incremental_near_dup": _oracle_incremental_near_dup(),
+    "stream_curation": _oracle_stream_curation(),
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

@@ -393,3 +393,73 @@ def stream_score_delta_pages(
                       "city_similarity", "p_match"]))
     res = spark.read.option("basePath", out_dir).parquet(out_dir)
     return res.select(*[c for c in res.columns if c != "batch"])
+
+
+# --- incremental curation: gate + chunk new documents as they land -----------
+
+
+def curate_batch(batch: DataFrame) -> DataFrame:
+    """Gate + chunk one micro-batch (also the foreachBatch body of
+    :func:`stream_curate_documents`). Pure per-document function — no
+    corpus state — so the stream is batching-invariant by construction."""
+    from ..operators.curation import chunk_documents, curation_flags
+
+    kept = batch.join(
+        curation_flags(batch).where("keep").select("doc_id"), "doc_id")
+    return chunk_documents(kept, carry=("source",))
+
+
+def stream_curate_documents(
+    spark: SparkSession,
+    delta_path: str,
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Stream newly landed documents through the curation gate + overlap
+    chunker; return all training chunks after an availableNow drain.
+
+    The ingest-side half of the curation family: dedup/decontamination
+    need corpus state (the incremental near-dup stream above), but the
+    per-document gate and the chunk fan-out are pure map work — the
+    earliest place a 100 TB pipeline can drop garbage is the ingest
+    stream itself, before a byte of it reaches the corpus store. Same
+    exactly-once contract as the other streams: checkpointed file source
+    + ``batch=<id>`` overwrite sinks.
+    """
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(delta_path):
+        parent, fname = os.path.split(delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(delta_path)
+
+    if sink_dir is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") \
+            and os.access("/dev/shm", os.W_OK) else None
+        sink_dir = tempfile.mkdtemp(prefix="inc_curate_sink_", dir=base)
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "chunks")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        curate_batch(batch).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"curation stream did not drain in {timeout_s}s")
+    if not os.path.isdir(out_dir):  # empty delta: no batch ever fired
+        return spark.createDataFrame(
+            [], "doc_id bigint, source string, chunk_id int, "
+                "chunk_text string, n_words bigint")
+    return spark.read.option("basePath", out_dir).parquet(out_dir) \
+        .select("doc_id", "source", "chunk_id", "chunk_text", "n_words")

@@ -124,3 +124,35 @@ def test_feature_correlation(spark):
     )
     assert abs(df.stat.corr("x", "y") - 1.0) < 1e-9
     assert abs(df.stat.corr("x", "z")) < 0.3
+
+
+def test_stream_curation_matches_batch_and_batching_invariant(spark, tmp_root):
+    """The curation ingest stream equals the one-shot batch plan, and the
+    result is identical whether the backlog drains as one micro-batch or
+    file-at-a-time (pure per-doc function: no corpus state to desync)."""
+    import os
+
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        curate_batch, stream_curate_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    delta_dir = os.path.join(tmp_root, "curate_delta")
+    docs.repartition(3).write.mode("overwrite").parquet(delta_dir)
+
+    def key(rows):
+        return sorted((r["doc_id"], r["chunk_id"], r["chunk_text"],
+                       r["n_words"], r["source"]) for r in rows)
+
+    expected = key(curate_batch(
+        spark.read.parquet(delta_dir)).collect())
+    assert expected, "gate kept nothing at sf0.001"
+
+    one = key(stream_curate_documents(
+        spark, delta_dir,
+        sink_dir=os.path.join(tmp_root, "curate_sink_one")).collect())
+    per_file = key(stream_curate_documents(
+        spark, delta_dir, max_files_per_trigger=1,
+        sink_dir=os.path.join(tmp_root, "curate_sink_split")).collect())
+    assert one == expected
+    assert per_file == expected
