@@ -88,3 +88,82 @@ def test_pipeline_on_standalone_cluster(tmp_path):
         assert len([w for w in st["workers"] if w["state"] == "ALIVE"]) == 2
     finally:
         cluster.stop()
+
+
+PYFILES_DRIVER = """
+# NOTE: no sys.path.insert of the repo anywhere — the package must import
+# from the --py-files zip on the driver AND on the executors.
+from pyspark.sql import SparkSession
+
+import entity_resolution_pipeline_spark  # from the zip
+from entity_resolution_pipeline_spark.functions.similarity import (
+    jaro_winkler_py, jaro_winkler_udf,
+)
+
+spark = SparkSession.builder.appName("pyfiles-e2e").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+assert spark.sparkContext.master.startswith("spark://"), spark.sparkContext.master
+assert "erps_pkg.zip" in entity_resolution_pipeline_spark.__file__, (
+    "driver imported the package from outside the shipped zip: "
+    + entity_resolution_pipeline_spark.__file__)
+
+rows = [("martha", "marhta"), ("dwayne", "duane"), ("acme corp", "acme corp")]
+df = spark.createDataFrame(rows, "a string, b string").repartition(4)
+got = {(r["a"], r["b"]): r["jw"] for r in
+       df.select("a", "b", jaro_winkler_udf("a", "b").alias("jw")).collect()}
+for a, b in rows:
+    assert abs(got[(a, b)] - jaro_winkler_py(a, b)) < 1e-12, (a, b, got[(a, b)])
+print("PYFILES_OK", len(got))
+spark.stop()
+"""
+
+
+def test_spark_submit_py_files_ships_package(tmp_path):
+    """LITERAL north-rule deployment: `spark-submit --py-files pkg.zip`
+    against the standalone cluster, with the repo absent from PYTHONPATH —
+    the package (incl. its pandas UDF) must reach driver and executors
+    solely through the shipped zip."""
+    import zipfile
+
+    import pyspark
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from standalone import StandaloneCluster
+
+    pkg_zip = str(tmp_path / "erps_pkg.zip")
+    pkg_root = os.path.join(REPO, "entity_resolution_pipeline_spark")
+    with zipfile.ZipFile(pkg_zip, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    driver_py = tmp_path / "pyfiles_driver.py"
+    driver_py.write_text(PYFILES_DRIVER)
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+    cluster = StandaloneCluster(n_workers=2, cores_per_worker=2,
+                                worker_mem="3g")
+    try:
+        url = cluster.start()
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["PYSPARK_PYTHON"] = sys.executable
+        env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+        out = subprocess.run(
+            [spark_submit, "--master", url,
+             "--conf", "spark.cores.max=4",
+             "--conf", "spark.executor.cores=2",
+             "--conf", "spark.executor.memory=2g",
+             "--py-files", pkg_zip,
+             str(driver_py)],
+            env=env, capture_output=True, text=True, timeout=300,
+            cwd=str(tmp_path),
+        )
+        assert "PYFILES_OK" in out.stdout, \
+            f"stdout:\n{out.stdout[-2000:]}\nstderr:\n{out.stderr[-3000:]}"
+    finally:
+        cluster.stop()
