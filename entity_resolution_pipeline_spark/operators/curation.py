@@ -114,10 +114,10 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
 
     sh = shingle_table(docs, id_col, text_col, k=3) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    fd = fuzzy_dedup(docs, id_col, text_col, k=3, n_bands=4, threshold=0.7,
+                     stop_threshold=stop_threshold, shingles=sh)
     keepers = (
-        fuzzy_dedup(docs, id_col, text_col, k=3, n_bands=4, threshold=0.7,
-                    stop_threshold=stop_threshold, shingles=sh)
-        .where("is_keeper")
+        fd.where("is_keeper")
         .select(F.col("id").cast("long").alias(id_col))
     )
     clean = (
@@ -138,7 +138,9 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
         F.count("*").alias("n_chunks"),
         F.sum("n_words").alias("n_words"),
     )
-    out._erps_persisted = [sh]
+    # own the shared shingle table AND forward fuzzy_dedup's internal
+    # caches (LSH signatures) so release_persisted frees everything
+    out._erps_persisted = [sh, *(getattr(fd, "_erps_persisted", None) or [])]
     return out
 
 

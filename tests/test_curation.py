@@ -169,3 +169,27 @@ def test_dup_span_fraction_closed_form(spark):
     assert (rows[2]["n_shingles"], rows[2]["n_shared"]) == (2, 1)
     assert (rows[3]["n_shingles"], rows[3]["n_shared"]) == (1, 0)
     assert rows[3]["dup_span_frac"] == 0.0
+
+
+def test_training_corpus_caches_release_deterministically(spark):
+    """training_corpus owns the shared shingle table and forwards
+    fuzzy_dedup's internal caches; after materialize + release_persisted
+    no NEW cached RDDs remain (same contract as the dedup family)."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        training_corpus,
+    )
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+
+    def cached_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    docs = _docs(spark)
+    before = cached_ids()
+    out = training_corpus(docs, docs.where(F.col("doc_id") % 97 == 0))
+    out.count()
+    assert len(getattr(out, "_erps_persisted", [])) >= 2  # shingles + sigs
+    release_persisted(out)
+    assert cached_ids() <= before
