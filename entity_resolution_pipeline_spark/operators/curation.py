@@ -368,3 +368,41 @@ def dup_span_fraction(docs: DataFrame, id_col: str = "doc_id",
             .alias("dup_span_frac"),
         )
     )
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   top_k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1), deterministic tie-break (score DESC,
+    word ASC) — the labeling/analysis pass that tags corpus documents
+    with their distinguishing terms.
+
+    Two map-side-combined aggregations build tf (doc_id, word) and df
+    (word); N is a scalar; scoring joins tf against the BROADCAST df
+    table (vocabulary-sized); the top-k window partitions BY DOCUMENT, so
+    its sort is per-doc-vocabulary-sized and embarrassingly parallel —
+    no global ordering anywhere. Scores are rounded to 6dp BEFORE ranking
+    so cross-engine ulp noise in ln cannot flip a tie."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(_tokens(F.col(text_col))).alias("word"))
+    tf = toks.groupBy("id", "word").agg(F.count("*").alias("tf"))
+    df_t = toks.groupBy("word").agg(F.countDistinct("id").alias("df"))
+    n_docs = docs.count()  # scalar by design
+
+    scored = tf.join(F.broadcast(df_t), "word").select(
+        "id", "word", "tf",
+        F.round(F.col("tf") * (F.log((F.lit(n_docs) + 1.0)
+                                     / (F.col("df") + 1)) + 1), 6)
+        .alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("id").alias(id_col), "rank", "word",
+                F.col("tf").cast("long").alias("tf"), "tfidf")
+    )

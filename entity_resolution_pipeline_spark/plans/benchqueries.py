@@ -2985,6 +2985,44 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_docs_tfidf(spark, sf_dir):
+    """Per-doc keyword extraction: top-3 terms by smoothed TF-IDF,
+    deterministic ties, per-doc windows (no global sort). Library:
+    operators/curation.py:tfidf_keywords."""
+    from ..operators.curation import tfidf_keywords
+
+    return tfidf_keywords(_t_wide(spark, sf_dir, "documents"))
+
+
+ORACLE_DOCS_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), tf AS (
+  SELECT id, word, COUNT(*) AS tf FROM toks GROUP BY id, word
+), dfr AS (
+  SELECT word, COUNT(DISTINCT id) AS df FROM toks GROUP BY word
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.id, tf.word, tf.tf,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dfr.df + 1)) + 1), 6)
+           AS tfidf
+  FROM tf JOIN dfr USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT id, word, tf, tfidf,
+         CAST(row_number() OVER (PARTITION BY id
+                                 ORDER BY tfidf DESC, word ASC) AS INTEGER)
+           AS rank
+  FROM scored
+)
+SELECT id AS doc_id, rank, word, CAST(tf AS BIGINT) AS tf, tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
 RESIZE_W, RESIZE_H = 5, 4
 
 
@@ -3109,6 +3147,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "docs_lm_perplexity": q_docs_lm_perplexity,
     "docs_dup_span": q_docs_dup_span,
+    "docs_tfidf": q_docs_tfidf,
     "domain_stats": q_domain_stats,
     "corpus_sample": q_corpus_sample,
     "decontaminate": q_decontaminate,
@@ -3255,6 +3294,7 @@ ORACLE_SQL = {
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "docs_lm_perplexity": ORACLE_DOCS_LM_PERPLEXITY,
     "docs_dup_span": ORACLE_DOCS_DUP_SPAN,
+    "docs_tfidf": ORACLE_DOCS_TFIDF,
     "domain_stats": _oracle_domain_stats(),
     "pack_sequences": _oracle_pack_sequences(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
