@@ -156,3 +156,24 @@ def test_stream_curation_matches_batch_and_batching_invariant(spark, tmp_root):
         sink_dir=os.path.join(tmp_root, "curate_sink_split")).collect())
     assert one == expected
     assert per_file == expected
+
+
+def test_stream_curation_restart_does_not_duplicate(spark, tmp_root):
+    """Re-running the curation stream over the same checkpoint + sink
+    (no new files) must not change the committed chunks."""
+    import os
+
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_curate_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    delta_dir = os.path.join(tmp_root, "curate_delta_r")
+    docs.coalesce(1).write.mode("overwrite").parquet(delta_dir)
+    sink = os.path.join(tmp_root, "curate_sink_r")
+
+    first = stream_curate_documents(spark, delta_dir, sink_dir=sink)
+    n_first = first.count()
+    assert n_first > 0
+    again = stream_curate_documents(spark, delta_dir, sink_dir=sink)
+    assert again.count() == n_first
