@@ -2153,6 +2153,28 @@ JOIN documents d ON c.doc_id = d.doc_id
 """
 
 
+def q_stream_decontaminate(spark, sf_dir):
+    """Benchmark-release-day decontamination as a foreachBatch stream
+    (streaming/incremental.py:stream_decontaminate_corpus): the eval
+    slice (doc_id % 97 == 0) lands as a stream; each micro-batch
+    broadcasts its shingles and probes the static persisted corpus
+    shingle table, committing distinct (doc, shingle) hits to idempotent
+    sinks; the distinct union across batches makes the result
+    batching-invariant and equal to the one-shot contamination_flags —
+    so the oracle is the SAME SQL as the batch decontaminate row."""
+    import tempfile
+
+    from ..streaming.incremental import stream_decontaminate_corpus
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    d = tempfile.mkdtemp(prefix="inc_eval_")
+    eval_docs.coalesce(1).write.mode("overwrite").parquet(d)
+    return stream_decontaminate_corpus(
+        spark, d, docs, k=DECON_K, min_overlap=DECON_MIN_OVERLAP,
+        timeout_s=240)
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Incremental delta-vs-corpus near-dup as a foreachBatch stream
     (streaming/incremental.py): the corpus (doc_id % 4 != 0) becomes static
@@ -3137,6 +3159,7 @@ QUERIES = {
     "stream_sessionize": q_stream_sessionize,
     "incremental_near_dup": q_incremental_near_dup,
     "stream_curation": q_stream_curation,
+    "stream_decontaminate": q_stream_decontaminate,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
     "corpus_curation": q_corpus_curation,
@@ -3301,5 +3324,6 @@ ORACLE_SQL = {
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "incremental_near_dup": _oracle_incremental_near_dup(),
     "stream_curation": _oracle_stream_curation(),
+    "stream_decontaminate": ORACLE_DECONTAMINATE,
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

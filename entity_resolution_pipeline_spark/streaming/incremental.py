@@ -463,3 +463,101 @@ def stream_curate_documents(
                 "chunk_text string, n_words bigint")
     return spark.read.option("basePath", out_dir).parquet(out_dir) \
         .select("doc_id", "source", "chunk_id", "chunk_text", "n_words")
+
+
+# --- incremental decontamination: new benchmarks probe the static corpus -----
+
+
+def stream_decontaminate_corpus(
+    spark: SparkSession,
+    eval_delta_path: str,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 2,
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Benchmark-release-day decontamination: NEW eval/benchmark documents
+    land as a stream, and the question is which TRAINING docs are now
+    contaminated — without rescanning the corpus per release.
+
+    The corpus shingle table is static persisted state (built once); each
+    micro-batch broadcasts ITS OWN distinct shingle set (eval batches are
+    tiny by definition) and probes the corpus table, committing distinct
+    ``(doc_id, shingle)`` hit pairs to a batch-keyed idempotent sink. The
+    final read distinct-unions hits across batches — set union is
+    associative, so the result is independent of how releases were
+    batched — and aggregates per corpus doc, matching the one-shot
+    :func:`..operators.dedup.contamination_flags` exactly (asserted in
+    pytest). At 100 TB the sink would carry ``xxhash64(shingle)`` instead
+    of the string (the count only needs distinctness); the string is kept
+    here so the DuckDB oracle can mirror the plan verbatim.
+    """
+    corpus_sh = (
+        shingle_table(corpus_docs, id_col, text_col, k)
+        .select("id", F.explode("sh").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    corpus_sh.count()
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(eval_delta_path):
+        parent, fname = os.path.split(eval_delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(eval_delta_path)
+
+    if sink_dir is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") \
+            and os.access("/dev/shm", os.W_OK) else None
+        sink_dir = tempfile.mkdtemp(prefix="inc_decon_sink_", dir=base)
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "hits")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        ev = (
+            shingle_table(batch, id_col, text_col, k)
+            .select(F.explode("sh").alias("shingle"))
+            .distinct()
+        )
+        hits = corpus_sh.join(F.broadcast(ev), "shingle") \
+                        .select("id", "shingle").distinct()
+        hits.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"decontamination stream did not drain in {timeout_s}s")
+    finally:
+        corpus_sh.unpersist()
+
+    ids = corpus_docs.select(F.col(id_col).cast("long").alias(id_col))
+    if not os.path.isdir(out_dir):  # empty delta: nothing contaminated
+        return ids.select(
+            id_col, F.lit(0).cast("long").alias("n_overlap"),
+            F.lit(False).alias("contaminated"))
+    per_doc = (
+        spark.read.option("basePath", out_dir).parquet(out_dir)
+        .select("id", "shingle").distinct()
+        .groupBy("id").agg(F.count("*").alias("n_overlap"))
+    )
+    return ids.join(per_doc, ids[id_col] == per_doc["id"], "left").select(
+        id_col,
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+        .alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap)
+        .alias("contaminated"),
+    )

@@ -177,3 +177,40 @@ def test_stream_curation_restart_does_not_duplicate(spark, tmp_root):
     assert n_first > 0
     again = stream_curate_documents(spark, delta_dir, sink_dir=sink)
     assert again.count() == n_first
+
+
+def test_stream_decontaminate_matches_batch_and_batching_invariant(
+        spark, tmp_root):
+    """The streamed benchmark-release decontamination equals the one-shot
+    contamination_flags, whether eval docs land in one batch or
+    file-at-a-time (distinct hit-pair union is associative)."""
+    import os
+
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        contamination_flags,
+    )
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_decontaminate_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_docs = docs.where("doc_id % 11 = 0")
+    delta_dir = os.path.join(tmp_root, "decon_delta")
+    eval_docs.repartition(3).write.mode("overwrite").parquet(delta_dir)
+
+    def key(rows):
+        return sorted((r["doc_id"], r["n_overlap"], r["contaminated"])
+                      for r in rows)
+
+    expected = key(contamination_flags(docs, eval_docs).collect())
+    assert any(c for _d, _n, c in expected), "nothing contaminated"
+    assert not all(c for _d, _n, c in expected), "everything contaminated"
+
+    one = key(stream_decontaminate_corpus(
+        spark, delta_dir, docs,
+        sink_dir=os.path.join(tmp_root, "decon_sink_one")).collect())
+    per_file = key(stream_decontaminate_corpus(
+        spark, delta_dir, docs, max_files_per_trigger=1,
+        sink_dir=os.path.join(tmp_root, "decon_sink_split")).collect())
+    assert one == expected
+    assert per_file == expected
