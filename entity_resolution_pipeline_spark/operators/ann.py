@@ -124,3 +124,121 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ).dropDuplicates(["query_id", "neighbor_id"])
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+# --- Product quantization (ADC search) ---------------------------------------------
+
+
+def _sqdist_col(a, b):
+    """Squared L2 over two equal-length arrays — sequential left fold, so
+    oracles reproduce the double bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _unit_col(vec):
+    """L2-normalized double array (zero vectors pass through unchanged).
+    On unit vectors squared-L2 = 2 - 2·cosine, so PQ's ADC ranking is
+    rank-equivalent to the cosine ranking the exact searches use. The
+    norm is bound once via single-element transform (interpreted HOF
+    lambdas have no CSE)."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    return F.transform(
+        F.array(F.sqrt(F.aggregate(F.transform(vd, lambda x: x * x),
+                                   F.lit(0.0), lambda acc, x: acc + x))),
+        lambda n: F.transform(vd, lambda x: F.when(n > 0, x / n)
+                              .otherwise(x)),
+    )[0]
+
+
+def pq_train_codebooks(vectors: DataFrame, m: int = 4, k_cent: int = 16,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 42) -> list[list[list[float]]]:
+    """Seeded PQ codebooks: for each of ``m`` subspaces, the ``k_cent``
+    corpus SUBvectors with smallest md5(id:seed:m) — the same reproducible
+    draw as the IVF coarse quantizer (production would k-means a sample;
+    the operator contract is identical). Returns driver-side nested lists
+    (m × k_cent × sub_dim — tiny, like FAISS codebooks)."""
+    books = []
+    for mi in range(1, m + 1):
+        sub_dim_expr = (F.size(F.col(vec_col)) / m).cast("int")
+        ranked = vectors.select(
+            F.slice(_unit_col(F.col(vec_col)),
+                    (F.lit(mi - 1) * sub_dim_expr + 1).cast("int"),
+                    sub_dim_expr).alias("sub"),
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f":{seed}:{mi}"))).alias("_h"),
+        ).orderBy("_h").limit(k_cent)
+        books.append([list(r["sub"]) for r in ranked.collect()])
+    return books
+
+
+def pq_encode(vectors: DataFrame, books: list[list[list[float]]],
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as ``m`` centroid codes (argmin squared-L2 per
+    subspace, ties to the smaller code). One NARROW projection against the
+    literal codebooks — at 10^12 rows the corpus is touched once,
+    map-side, and the output row is id + m bytes-worth of codes (the
+    memory-compression half of IVF-PQ)."""
+    m, k_cent = len(books), len(books[0])
+    sub_dim = len(books[0][0])
+    vec_d = _unit_col(F.col(vec_col))
+    codes = []
+    for mi in range(1, m + 1):
+        sub = F.slice(vec_d, (mi - 1) * sub_dim + 1, sub_dim)
+        cands = F.array(*[
+            F.struct(
+                _sqdist_col(sub, F.array(*[F.lit(v) for v in books[mi - 1][c]]))
+                .alias("d"),
+                F.lit(c + 1).alias("cid"),
+            )
+            for c in range(k_cent)
+        ])
+        codes.append(F.array_min(cands)["cid"].alias(f"c{mi}"))
+    return vectors.select(
+        F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            m: int = 4, k_cent: int = 16,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id", seed: int = 42) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: encode the corpus once, build
+    each query's m×k_cent distance table, and score pairs with m table
+    lookups instead of a d-dim fold — FAISS IndexPQ semantics,
+    distributed. The corpus side carries only (id, m codes) through the
+    join; vectors never move. Approximate by construction: the battery
+    oracle replicates the full PQ plan (seeded codebooks, argmin encode,
+    ADC) rather than pretending it's exact."""
+    books = pq_train_codebooks(corpus, m, k_cent, id_col, vec_col, seed)
+    sub_dim = len(books[0][0])
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    qvec = _unit_col(F.col(vec_col))
+    dtab = F.array(*[
+        F.array(*[
+            _sqdist_col(F.slice(qvec, (mi - 1) * sub_dim + 1, sub_dim),
+                        F.array(*[F.lit(v) for v in books[mi - 1][c]]))
+            for c in range(k_cent)
+        ])
+        for mi in range(1, m + 1)
+    ])
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       dtab.alias("dtab"))
+
+    joined = codes.join(F.broadcast(q),
+                        F.col(id_col) != F.col("query_id"))
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
+        lambda acc, mi: acc + F.element_at(F.element_at(F.col("dtab"), mi),
+                                           F.element_at(F.col("codes"), mi)),
+    )
+    scored = joined.select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        F.round(adc, 6).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                               F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")) \
+                 .where(F.col("rank") <= k)

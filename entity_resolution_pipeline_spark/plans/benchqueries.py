@@ -839,6 +839,80 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+PQ_M, PQ_K, PQ_TOPK = 4, 16, 5
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ADC top-5 (FAISS IndexPQ semantics): vectors
+    L2-normalized (squared-L2 on unit vectors = 2 - 2·cosine, so ADC
+    ranks like the exact cosine searches), seeded per-subspace codebooks
+    (4 subspaces × 16 centroids over the 64-dim embeddings), argmin
+    encode, per-query distance tables, m-lookup scoring. The oracle
+    replicates the FULL PQ plan — normalization, codebook draw, encode
+    argmin with (dist, cid) tie-break, ADC sum in subspace order.
+    Recall on this synthetic corpus is modest (~0.3 @20 vs exact, ~7×
+    random) because the embeddings are near-orthogonal noise and the
+    codebooks are a seeded draw, not k-means — same disclosure as the
+    SRP row; the operator contract equals FAISS IndexPQ with random
+    init. Library: operators/ann.py:pq_topk."""
+    from ..operators.ann import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return pq_topk(emb, queries, k=PQ_TOPK, m=PQ_M, k_cent=PQ_K)
+
+
+ORACLE_ANN_PQ = f"""
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), v1 AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v0
+), v AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+              ELSE e END AS e
+  FROM v1
+), sub AS (
+  SELECT vec_id, m, list_slice(e, (m - 1) * 16 + 1, m * 16) AS s
+  FROM v, unnest([1, 2, 3, 4]) AS t(m)
+), books AS (
+  SELECT m, s AS cent,
+         CAST(row_number() OVER (
+           PARTITION BY m
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42:'
+                        || CAST(m AS VARCHAR))) AS INTEGER) AS cid
+  FROM sub
+  QUALIFY cid <= {PQ_K}
+), dists AS (
+  SELECT s.vec_id, s.m, b.cid,
+         list_sum(list_transform(generate_series(1, 16),
+                  i -> (s.s[i] - b.cent[i]) * (s.s[i] - b.cent[i]))) AS d
+  FROM sub s JOIN books b USING (m)
+), codes AS (
+  SELECT vec_id, m, cid
+  FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) = 1
+), adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list(q.d ORDER BY q.m)), 6) AS adc_dist
+  FROM codes c
+  JOIN dists q ON c.m = q.m AND c.cid = q.cid
+  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank
+FROM adc
+QUALIFY rank <= {PQ_TOPK}
+"""
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF top-k at a REAL approximate setting (n_cells=8, n_probe=2) — the
     scale path for similarity search (J8; replaces FAISS IVF,
@@ -3184,6 +3258,7 @@ QUERIES = {
     # embeddings
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_srp": q_embedding_near_dup_srp,
     "embedding_centroids": q_embedding_centroids,
@@ -3276,6 +3351,7 @@ ORACLE_SQL = {
     "corpus_curation": _oracle_corpus_curation(),
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf": _oracle_ann_ivf(),
+    "ann_pq": ORACLE_ANN_PQ,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_srp": _oracle_embedding_near_dup_srp(),
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,

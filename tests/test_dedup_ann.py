@@ -144,3 +144,29 @@ def test_ivf_topk_recalls_most_of_bruteforce(spark):
               for r in ivf_topk(emb, q, k=3, n_cells=4, n_probe=2).collect()}
     # IVF with 2/4 probes must recover a majority of the exact neighbors
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_pq_adc_recall_beats_random(spark):
+    """PQ ADC top-20 must recover a multiple of the random-guess share of
+    the exact cosine top-5 (measured ~0.29 vs 0.04 random on the weakly
+    structured synthetic embeddings; threshold leaves 2x margin). Also
+    pins determinism: two runs return identical rows."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_pipeline_spark.operators.ann import (
+        brute_force_topk, pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    got = pq_topk(emb, q, k=20).collect()
+    pq = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.15, f"PQ recall@20 {recall} < 0.15 (~4x random)"
+    again = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in pq_topk(emb, q, k=20).collect()}
+    assert again == {(r["query_id"], r["neighbor_id"], r["rank"])
+                     for r in got}
