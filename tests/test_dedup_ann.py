@@ -170,3 +170,28 @@ def test_pq_adc_recall_beats_random(spark):
              for r in pq_topk(emb, q, k=20).collect()}
     assert again == {(r["query_id"], r["neighbor_id"], r["rank"])
                      for r in got}
+
+
+def test_pq_kmeans_training_improves_recall(spark):
+    """Lloyd-refined codebooks must beat the seeded draw on recall@20
+    (measured 0.42 vs 0.29); both paths stay deterministic."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_pipeline_spark.operators.ann import (
+        brute_force_topk, pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, q, k=5).collect()}
+
+    def recall(train):
+        pq = {(r["query_id"], r["neighbor_id"])
+              for r in pq_topk(emb, q, k=20, train=train).collect()}
+        return len(exact & pq) / len(exact)
+
+    r_draw, r_km = recall("draw"), recall("kmeans")
+    assert r_km > r_draw, (r_km, r_draw)
+    assert r_km >= 0.30, r_km
