@@ -159,18 +159,33 @@ def pq_train_codebooks(vectors: DataFrame, m: int = 4, k_cent: int = 16,
     corpus SUBvectors with smallest md5(id:seed:m) — the same reproducible
     draw as the IVF coarse quantizer (production would k-means a sample;
     the operator contract is identical). Returns driver-side nested lists
-    (m × k_cent × sub_dim — tiny, like FAISS codebooks)."""
-    books = []
-    for mi in range(1, m + 1):
-        sub_dim_expr = (F.size(F.col(vec_col)) / m).cast("int")
-        ranked = vectors.select(
-            F.slice(_unit_col(F.col(vec_col)),
-                    (F.lit(mi - 1) * sub_dim_expr + 1).cast("int"),
-                    sub_dim_expr).alias("sub"),
+    (m × k_cent × sub_dim — tiny, like FAISS codebooks).
+
+    All ``m`` draws happen in ONE corpus pass: each row emits its m
+    (subspace, hash, subvector) structs, and a per-subspace top-k window
+    (rank ≤ k_cent ⇒ WindowGroupLimit pushes a partial top-k below the
+    exchange) picks the winners — not m separate orderBy+limit jobs."""
+    sub_dim_expr = (F.size(F.col(vec_col)) / m).cast("int")
+    unit = _unit_col(F.col(vec_col))
+    per_sub = F.array(*[
+        F.struct(
+            F.lit(mi).alias("mi"),
             F.md5(F.concat(F.col(id_col).cast("string"),
                            F.lit(f":{seed}:{mi}"))).alias("_h"),
-        ).orderBy("_h").limit(k_cent)
-        books.append([list(r["sub"]) for r in ranked.collect()])
+            F.slice(unit, (F.lit(mi - 1) * sub_dim_expr + 1).cast("int"),
+                    sub_dim_expr).alias("sub"),
+        )
+        for mi in range(1, m + 1)
+    ])
+    exploded = vectors.select(F.explode(per_sub).alias("e")) \
+                      .select("e.mi", "e._h", "e.sub")
+    w = Window.partitionBy("mi").orderBy("_h")
+    ranked = exploded.withColumn("_rn", F.row_number().over(w)) \
+                     .where(F.col("_rn") <= k_cent) \
+                     .collect()
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(ranked, key=lambda r: (r["mi"], r["_rn"])):
+        books[r["mi"] - 1].append(list(r["sub"]))
     return books
 
 
@@ -267,9 +282,14 @@ def pq_train_codebooks_kmeans(vectors: DataFrame, m: int = 4,
     state, exactly like FAISS training). Empty clusters keep their old
     centroid. Distortion is non-increasing per Lloyd; ties in assignment
     break to the smaller code, so the result is reproducible anywhere."""
+    from pyspark import StorageLevel
+
     books = pq_train_codebooks(vectors, m, k_cent, id_col, vec_col, seed)
     sub_dim = len(books[0][0])
-    unit = vectors.select(_unit_col(F.col(vec_col)).alias("e"))
+    # the normalized projection feeds every Lloyd round — persist once
+    # instead of re-deriving the sqrt-fold chain per iteration
+    unit = vectors.select(_unit_col(F.col(vec_col)).alias("e")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     for _it in range(iters):
         per_sub = []
         for mi in range(1, m + 1):
@@ -298,4 +318,5 @@ def pq_train_codebooks_kmeans(vectors: DataFrame, m: int = 4,
         for r in means:
             new_books[r["m"] - 1][r["cid"] - 1][r["pos"]] = float(r["mu"])
         books = new_books
+    unit.unpersist()
     return books

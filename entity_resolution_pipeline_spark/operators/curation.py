@@ -112,13 +112,17 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
 
     from .dedup import contamination_flags, fuzzy_dedup, shingle_table
 
+    # join keys are cast to the INPUT id column's own type — a hardcoded
+    # long would silently null out (and drop) every row for string ids
+    id_type = docs.schema[id_col].dataType
+
     sh = shingle_table(docs, id_col, text_col, k=3) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     fd = fuzzy_dedup(docs, id_col, text_col, k=3, n_bands=4, threshold=0.7,
                      stop_threshold=stop_threshold, shingles=sh)
     keepers = (
         fd.where("is_keeper")
-        .select(F.col("id").cast("long").alias(id_col))
+        .select(F.col("id").cast(id_type).alias(id_col))
     )
     clean = (
         contamination_flags(docs, eval_docs, id_col, text_col, shingles=sh)
@@ -355,7 +359,7 @@ def dup_span_fraction(docs: DataFrame, id_col: str = "doc_id",
         )
     )
     return (
-        docs.select(F.col(id_col).cast("long").alias(id_col))
+        docs.select(F.col(id_col))
         .join(per_doc, F.col(id_col) == F.col("id"), "left")
         .select(
             id_col,

@@ -1665,14 +1665,13 @@ def q_er_pipeline_clusters(spark, sf_dir):
     (operators/scoring.py), so the oracle hash is unchanged while the
     Jaro-Winkler pUDF runs only on the borderline band — 49s → 17s at
     sf0.01, keeping this row well inside any per-query driver budget."""
-    import tempfile
-
     from .pipeline import PipelineConfig, run_pipeline
     from ..sources.pages import pages_from_documents
     from ..sources.tableio import TableIO
+    from ..streaming.incremental import _tmp_sink_dir
 
     pages = pages_from_documents(spark, sf_dir, variants=4)
-    io = TableIO(spark, tempfile.mkdtemp(prefix="er_q_"))
+    io = TableIO(spark, _tmp_sink_dir("er_q_"))  # atexit-cleaned stage dir
     cfg = PipelineConfig(n_bands=8, top_n=100, two_phase_scoring=True)
     clusters = run_pipeline(spark, pages.drop("true_cluster"), io, cfg,
                             resume=False)
@@ -2236,13 +2235,13 @@ def q_stream_decontaminate(spark, sf_dir):
     sinks; the distinct union across batches makes the result
     batching-invariant and equal to the one-shot contamination_flags —
     so the oracle is the SAME SQL as the batch decontaminate row."""
-    import tempfile
-
-    from ..streaming.incremental import stream_decontaminate_corpus
+    from ..streaming.incremental import (
+        _tmp_sink_dir, stream_decontaminate_corpus,
+    )
 
     docs = _t_wide(spark, sf_dir, "documents")
     eval_docs = docs.where(F.col("doc_id") % 97 == 0)
-    d = tempfile.mkdtemp(prefix="inc_eval_")
+    d = _tmp_sink_dir("inc_eval_")  # atexit-cleaned, like the stream sinks
     eval_docs.coalesce(1).write.mode("overwrite").parquet(d)
     return stream_decontaminate_corpus(
         spark, d, docs, k=DECON_K, min_overlap=DECON_MIN_OVERLAP,
@@ -2258,14 +2257,12 @@ def q_incremental_near_dup(spark, sf_dir):
     its candidates — per-batch cost independent of corpus pair count. The
     oracle replicates the full plan in SQL (md5 band minima, corpus-side
     stop rule, delta×corpus bucket join, exact shingle Jaccard)."""
-    import tempfile
-
-    from ..streaming.incremental import stream_delta_near_dups
+    from ..streaming.incremental import _tmp_sink_dir, stream_delta_near_dups
 
     docs = _t_wide(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 4 != 0)
     delta = docs.where(F.col("doc_id") % 4 == 0)
-    d = tempfile.mkdtemp(prefix="inc_delta_")
+    d = _tmp_sink_dir("inc_delta_")  # atexit-cleaned, like the stream sinks
     delta.coalesce(1).write.mode("overwrite").parquet(d)
     return stream_delta_near_dups(spark, d, corpus, k=3, n_bands=4,
                                   stop_threshold=LSH_STOP)

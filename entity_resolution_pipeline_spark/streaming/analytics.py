@@ -40,6 +40,17 @@ EVENTS_SCHEMA = StructType([
 ])
 
 
+
+def _tmp_ckpt_dir(prefix: str) -> str:
+    """Per-run checkpoint dir, removed at interpreter exit (the memory-sink
+    drains read nothing back from it, but repeated bench runs must not
+    accumulate checkpoint litter)."""
+    import atexit
+    import shutil
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
 def _events_stream(spark: SparkSession, events_path: str):
     """Streaming parquet source over a directory OR a single file.
 
@@ -95,7 +106,7 @@ def stream_windowed_event_stats(
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "sum_value")
     )
-    ckpt = tempfile.mkdtemp(prefix="ckpt_winagg_")
+    ckpt = _tmp_ckpt_dir("ckpt_winagg_")
     q = (
         agg.writeStream.format("memory").queryName(query_name)
         .outputMode("complete")
@@ -191,7 +202,7 @@ def stream_sessionize_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    ckpt = tempfile.mkdtemp(prefix="ckpt_sess_")
+    ckpt = _tmp_ckpt_dir("ckpt_sess_")
     q = (
         sessions.writeStream.format("memory").queryName(query_name)
         .outputMode("update")
