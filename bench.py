@@ -57,9 +57,9 @@ def force_full(df) -> None:
     df.agg(F.bit_xor(F.xxhash64(*df.columns))).collect()
 
 
-def run_er_pipeline(spark, sf_dir: str, variants: int,
-                    cpus: int | None = None) -> dict:
-    """Timed staged run; returns per-stage seconds + pair throughput."""
+def run_er_pipeline_once(spark, sf_dir: str, variants: int,
+                         cpus: int | None = None) -> dict:
+    """One timed staged run; returns per-stage seconds + pair throughput."""
     # stage tables on tmpfs when available — same rationale as
     # spark.local.dir in session.py: the sandbox's one virtual disk is a
     # serial bottleneck no per-executor-NVMe cluster has
@@ -148,6 +148,39 @@ def run_er_pipeline(spark, sf_dir: str, variants: int,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_er_pipeline(spark, sf_dir: str, variants: int,
+                    cpus: int | None = None, reps: int = 1) -> dict:
+    """Median-of-``reps`` staged ER run. Single e2e runs on this host swing
+    >2× PER STAGE (round 3's number-of-record showed extract 5.7 → 13.5 s
+    with zero code change on that path), so the stage seconds of record are
+    per-stage MEDIANS across ``reps`` identical runs, with every raw leg
+    kept in ``legs_raw`` — the same discipline the scaling bench applies to
+    its e2e legs. Counts (pages/pairs/clusters) are identical across reps
+    and asserted so."""
+    import statistics
+
+    legs = [run_er_pipeline_once(spark, sf_dir, variants, cpus=cpus)
+            for _ in range(max(reps, 1))]
+    for leg in legs[1:]:
+        assert (leg["n_pages"], leg["n_pairs"], leg["n_clusters"]) == \
+            (legs[0]["n_pages"], legs[0]["n_pairs"], legs[0]["n_clusters"]), \
+            "ER reps disagree on row counts — nondeterminism"
+    stages = {k: round(statistics.median(
+        leg["stage_sec"][k] for leg in legs), 3)
+        for k in legs[0]["stage_sec"]}
+    return {
+        "stage_sec": stages,
+        "n_pages": legs[0]["n_pages"],
+        "n_pairs": legs[0]["n_pairs"],
+        "n_clusters": legs[0]["n_clusters"],
+        "pairs_scored_per_sec": round(
+            legs[0]["n_pairs"] / max(stages["score"], 1e-9), 1),
+        "er_total_sec": round(sum(stages.values()), 3),
+        "reps": len(legs),
+        "legs_raw": [leg["stage_sec"] for leg in legs],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -165,9 +198,16 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
+    # ER stage times of record are medians of BENCH_ER_REPS runs (default 3;
+    # the scaling legs pin 1 because tools/scaling_bench.py does its own
+    # repetition). queries["er_pipeline"] is the median-derived total so the
+    # headline number stays a single-pipeline cost, not reps× wall time.
+    reps = int(os.environ.get(
+        "BENCH_ER_REPS", "1" if os.environ.get("BENCH_ER_ONLY") else "3"))
     t0 = time.perf_counter()
-    er = run_er_pipeline(spark, sf_dir, variants, cpus=cpus)
-    queries["er_pipeline"] = round(time.perf_counter() - t0, 3)
+    er = run_er_pipeline(spark, sf_dir, variants, cpus=cpus, reps=reps)
+    er["wall_sec"] = round(time.perf_counter() - t0, 3)
+    queries["er_pipeline"] = er["er_total_sec"]
 
     # scaling legs time only the ER stages; skip the battery to keep
     # interleaved rounds short (BENCH_ER_ONLY=1 set by tools/scaling_bench.py)
