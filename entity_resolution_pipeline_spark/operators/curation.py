@@ -27,13 +27,29 @@ GATE_TOP_WORD_X = 10      # top-word fraction cap = 1 / GATE_TOP_WORD_X
 CHUNK_SIZE = 32           # words per training chunk
 CHUNK_STRIDE = 24         # overlap = CHUNK_SIZE - CHUNK_STRIDE = 8 words
 
+GATE_MAX_DUP_SPAN = 0.5   # extended gate: duplicated-span fraction cap
+GATE_MAX_PPL = 30.65      # extended gate: LM pseudo-perplexity cap (≈ corpus p75)
+
 
 def curation_flags(docs: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text", extended: bool = False,
+                   max_dup_span: float = GATE_MAX_DUP_SPAN,
+                   max_perplexity: float = GATE_MAX_PPL) -> DataFrame:
     """Per-document keep/drop gate: language-ID == en, quality floor, and
     Gopher-style repetition caps as INTEGER cross-multiplications of the
     exact counts (no float division can drift between engines). Each flag
-    is emitted alongside the conjunction so oracles verify every rule."""
+    is emitted alongside the conjunction so oracles verify every rule.
+
+    ``extended=True`` stacks the two corpus-level signals real gates add
+    on top of the per-document rules (they were previously computed but
+    consumed by nothing): the RefinedWeb duplicated-span fraction
+    (:func:`dup_span_fraction` ≤ ``max_dup_span``) and the CCNet LM
+    pseudo-perplexity (:func:`lm_perplexity` ≤ ``max_perplexity``), each
+    emitted as its own flag and ANDed into ``keep``. Docs the signals
+    cannot score (no shingles / < 2 tokens) pass their cap — absence of
+    evidence is not garbage. The base gate stays zero-shuffle; the
+    extended gate pays the two signals' aggregations, which a 100 TB run
+    schedules anyway when it computes the signals at all."""
     from ..functions.textstats import (
         lang_id_col, quality_score_col, repetition_counts_col,
     )
@@ -53,11 +69,39 @@ def curation_flags(docs: DataFrame, id_col: str = "doc_id",
          & (F.col("r.top_word_count") * GATE_TOP_WORD_X
             <= F.col("r.total_words"))).alias("repetition_ok"),
     )
-    return d.select(
+    base = d.select(
         id_col, "lang_ok", "quality_ok", "repetition_ok",
         (F.col("lang_ok") & F.col("quality_ok")
          & F.col("repetition_ok")).alias("keep"),
     )
+    if not extended:
+        return base
+    spans = dup_span_fraction(docs, id_col, text_col).select(
+        id_col,
+        (F.coalesce(F.col("dup_span_frac"), F.lit(0.0))
+         <= F.lit(max_dup_span)).alias("dup_span_ok"),
+    )
+    ppl = lm_perplexity(docs, id_col, text_col)
+    ppl_ok = ppl.select(
+        id_col,
+        (F.col("perplexity").isNull()
+         | (F.col("perplexity") <= F.lit(max_perplexity)))
+        .alias("perplexity_ok"),
+    )
+    out = (
+        base.drop("keep")
+        .join(spans, id_col)
+        .join(ppl_ok, id_col)
+        .select(
+            id_col, "lang_ok", "quality_ok", "repetition_ok",
+            "dup_span_ok", "perplexity_ok",
+            (F.col("lang_ok") & F.col("quality_ok")
+             & F.col("repetition_ok") & F.col("dup_span_ok")
+             & F.col("perplexity_ok")).alias("keep"),
+        )
+    )
+    out._erps_persisted = list(getattr(ppl, "_erps_persisted", None) or [])
+    return out
 
 
 def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
@@ -94,7 +138,9 @@ def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
 def training_corpus(docs: DataFrame, eval_docs: DataFrame,
                     id_col: str = "doc_id", text_col: str = "text",
                     source_col: str = "source",
-                    stop_threshold: int | None = None) -> DataFrame:
+                    stop_threshold: int | None = None,
+                    extended_gate: bool = False,
+                    remove_spans: bool = False) -> DataFrame:
     """THE end-to-end training-data pipeline: fuzzy-dedup keepers ∩ not
     benchmark-contaminated ∩ curation-gate keep → overlap-chunk → per-source
     corpus budget (docs, chunks, words). At 100 TB this is one corpus scan
@@ -107,7 +153,15 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
     substitution anyway — but that silently breaks if k differs or column
     pruning perturbs the subplan; passing the table makes the
     single-tokenization guarantee structural, and its release
-    deterministic via ``_erps_persisted``.)"""
+    deterministic via ``_erps_persisted``.)
+
+    ``extended_gate=True`` swaps in :func:`curation_flags`'s extended
+    variant (dup-span + perplexity caps stacked on the base rules).
+    ``remove_spans=True`` additionally runs
+    :func:`remove_duplicate_spans` over the surviving documents BEFORE
+    chunking — the RefinedWeb exact-substring removal step — so the
+    chunk/word budgets reflect the span-stripped texts (documents whose
+    every word was corpus-shared drop out entirely)."""
     from pyspark import StorageLevel
 
     from .dedup import contamination_flags, fuzzy_dedup, shingle_table
@@ -128,14 +182,23 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
         contamination_flags(docs, eval_docs, id_col, text_col, shingles=sh)
         .where(~F.col("contaminated")).select(id_col)
     )
-    gated = curation_flags(docs, id_col, text_col) \
-        .where("keep").select(id_col)
+    gate = curation_flags(docs, id_col, text_col, extended=extended_gate)
+    gated = gate.where("keep").select(id_col)
     kept = (
         docs.select(id_col, source_col, text_col)
         .join(keepers, id_col)
         .join(clean, id_col)
         .join(gated, id_col)
     )
+    extra_persisted = list(getattr(gate, "_erps_persisted", None) or [])
+    if remove_spans:
+        stripped = remove_duplicate_spans(kept, id_col, text_col)
+        kept = (
+            kept.select(id_col, source_col)
+            .join(stripped.where(F.col("n_removed") < F.col("n_words"))
+                  .select(id_col, F.col("text_clean").alias(text_col)),
+                  id_col)
+        )
     chunks = chunk_documents(kept, id_col, text_col, carry=(source_col,))
     out = chunks.groupBy(source_col).agg(
         F.countDistinct(id_col).alias("n_docs"),
@@ -143,8 +206,10 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
         F.sum("n_words").alias("n_words"),
     )
     # own the shared shingle table AND forward fuzzy_dedup's internal
-    # caches (LSH signatures) so release_persisted frees everything
-    out._erps_persisted = [sh, *(getattr(fd, "_erps_persisted", None) or [])]
+    # caches (LSH signatures) + any extended-gate LM tables so
+    # release_persisted frees everything
+    out._erps_persisted = [sh, *(getattr(fd, "_erps_persisted", None) or []),
+                           *extra_persisted]
     return out
 
 
@@ -261,8 +326,59 @@ def pack_sequences(chunks: DataFrame, id_col: str = "doc_id",
     )
 
 
+LM_BROADCAST_LIMIT = 2_000_000   # count-table rows; above this, shuffle join
+SALT_N = 8                       # salt width for hot-key replication
+HOT_N = 64                       # how many hottest tokens get salted
+
+
+def _count_table_join(inst: DataFrame, counts: DataFrame, inst_key,
+                      counts_key: str, count_col: str, how: str,
+                      salt_cols: tuple[str, ...], n_rows: int,
+                      broadcast_limit: int | None,
+                      n_salts: int = SALT_N, hot_n: int = HOT_N) -> DataFrame:
+    """Join a token stream against a (token, count) table.
+
+    Below ``broadcast_limit`` rows the count table rides a broadcast hash
+    join (the capped-LM production shape). Above it — the unbounded-
+    vocabulary case that would OOM the driver under a forced broadcast —
+    the join falls back to shuffle-on-token with HOT-KEY SALTING, the same
+    skew treatment the blocking table uses: the ``hot_n`` most frequent
+    tokens (a TakeOrdered over the count table — bounded driver state,
+    like the ANN centroids) are replicated across ``n_salts`` salts on the
+    count side, and each instance row picks its replica with a
+    deterministic xxhash64 over ``salt_cols``; every other token joins
+    unsalted. Join OUTPUT is identical either way (each instance row still
+    meets exactly one count row), which is what the bit-equality pytest
+    asserts."""
+    cts = counts.withColumnRenamed(counts_key, "_ck")
+    if broadcast_limit is None or n_rows <= broadcast_limit:
+        return inst.join(F.broadcast(cts),
+                         inst[inst_key] == F.col("_ck"), how).drop("_ck")
+    hot = [r[0] for r in counts
+           .orderBy(F.desc(count_col), F.asc(counts_key))
+           .limit(hot_n).collect()]
+    salt_i = F.when(
+        F.col(inst_key).isin(hot),
+        F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)),
+    ).otherwise(F.lit(0)).cast("int")
+    replicas = F.when(
+        F.col("_ck").isin(hot),
+        F.sequence(F.lit(0), F.lit(n_salts - 1)),
+    ).otherwise(F.array(F.lit(0)))
+    salted = cts.withColumn("_salt", F.explode(replicas)) \
+                .withColumn("_salt", F.col("_salt").cast("int"))
+    out = (
+        inst.withColumn("_s", salt_i)
+        .join(salted, (inst[inst_key] == salted["_ck"])
+              & (F.col("_s") == F.col("_salt")), how)
+    )
+    return out.drop("_s", "_salt", "_ck")
+
+
 def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  broadcast_limit: int | None = LM_BROADCAST_LIMIT
+                  ) -> DataFrame:
     """CCNet-style LM quality signal: train add-one-smoothed bigram
     statistics on the corpus itself, score every document by its
     pseudo-perplexity exp(-avg ln P(w2|w1)) — the filter web-scale
@@ -270,18 +386,23 @@ def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
 
     P(w2|w1) = (B(w1,w2) + 1) / (U(w1) + V): bigram/unigram counts with
     add-one smoothing over vocabulary size V. Two count aggregations
-    train the LM (classic map-side-combined wordcounts); scoring is the
-    bigram-instance stream joined against the BROADCAST LM (CCNet LMs are
-    trained on a capped sample precisely so they broadcast; with an
-    unbounded LM the joins fall back to shuffle-on-token and would need
-    the same hot-key salting the blocking table uses — documented, not
-    built, since a capped LM is the production shape). Docs with < 2
+    train the LM (classic map-side-combined wordcounts); scoring joins the
+    bigram-instance stream against each LM table via
+    :func:`_count_table_join` — broadcast while the table is below
+    ``broadcast_limit`` rows (CCNet LMs are trained on a capped sample
+    precisely so they broadcast), salted shuffle-on-token beyond it, so an
+    unbounded vocabulary degrades to a shuffle join instead of failing on
+    the 8 GB broadcast ceiling. Both LM tables are persisted (each feeds
+    its row count, the possible hot-key draw, and the join) and forwarded
+    on ``_erps_persisted`` for deterministic release. Docs with < 2
     tokens score NULL with n_bigrams = 0.
 
     avg/ln/exp run on doubles in both engines; outputs are rounded
     (logp 6dp, ppl 4dp) so IEEE summation-order differences cannot flip
     the driver hash.
     """
+    from pyspark import StorageLevel
+
     w = _tokens(F.col(text_col))
     # bind the token array once (interpreted HOF lambdas have no CSE)
     pairs = F.transform(
@@ -298,14 +419,19 @@ def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
                        F.col("p.bg").alias("bg"))
 
     toks = docs.select(F.explode(w).alias("word"))
-    uni = toks.groupBy("word").agg(F.count("*").alias("u_n"))
-    big = inst.groupBy("bg").agg(F.count("*").alias("b_n"))
-    v = uni.count()  # scalar: vocabulary size (driver-side by design)
+    uni = toks.groupBy("word").agg(F.count("*").alias("u_n")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    big = inst.groupBy("bg").agg(F.count("*").alias("b_n")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    v = uni.count()   # scalar: vocabulary size (driver-side by design)
+    nb = big.count()  # scalar: bigram-table rows (guards its broadcast)
 
+    step1 = _count_table_join(inst, big, "bg", "bg", "b_n", "left",
+                              (id_col, "bg"), nb, broadcast_limit)
+    step2 = _count_table_join(step1, uni, "w1", "word", "u_n", "inner",
+                              (id_col, "bg"), v, broadcast_limit)
     scored = (
-        inst.join(F.broadcast(big), "bg", "left")
-        .join(F.broadcast(uni), inst["w1"] == uni["word"])
-        .select(
+        step2.select(
             id_col,
             F.log((F.coalesce(F.col("b_n"), F.lit(0)) + F.lit(1))
                   / (F.col("u_n") + F.lit(v))).alias("logp"),
@@ -313,7 +439,7 @@ def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
         .groupBy(id_col)
         .agg(F.count("*").alias("n_bigrams"), F.avg("logp").alias("alp"))
     )
-    return (
+    out = (
         docs.select(id_col)
         .join(scored, id_col, "left")
         .select(
@@ -324,6 +450,8 @@ def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
             F.round(F.exp(-F.col("alp")), 4).alias("perplexity"),
         )
     )
+    out._erps_persisted = [uni, big]
+    return out
 
 
 DUP_SPAN_K = 5   # n-gram width for the duplicated-span signal
@@ -374,39 +502,125 @@ def dup_span_fraction(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = DUP_SPAN_K,
+                           min_df: int = 2) -> DataFrame:
+    """Exact-substring span REMOVAL — the operation behind
+    :func:`dup_span_fraction`'s diagnostic (RefinedWeb/Gopher pipelines
+    don't just measure duplicated spans, they strip them from the kept
+    documents). Every word covered by at least one k-shingle that occurs
+    in ``min_df``-or-more documents is dropped; the survivors are
+    reassembled in order. Output: (id, n_words, n_removed, text_clean).
+
+    Matching is case-insensitive (shingles over lowered words — the same
+    tokenization as the dup-span diagnostic); output words keep their
+    original form. Docs shorter than ``k`` words degrade to a single
+    whole-doc shingle, so short exact duplicates are removed entirely.
+
+    Plan shape at 100 TB: positional shingles are a map-side ×~1 fan-out
+    (one row per word position); the shingle document-frequency count is
+    one map-side-combined exchange; covered word indices come from an
+    equi-join on the shingle key plus a ×k map-side expansion; the
+    reassembly is one per-doc aggregation whose sort is bounded by the
+    longest document. Two shuffles total (shingle key, doc id) — the same
+    exchanges the diagnostic already pays, plus the per-doc rebuild.
+    """
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("id"), w.alias("w"))
+    n = F.size("w")
+    npos = F.when(n >= k, n - (k - 1)).otherwise(
+        F.when(n > 0, F.lit(1)).otherwise(F.lit(0)))
+    spans = F.transform(
+        F.sequence(F.lit(1), npos),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.least(i + (k - 1), n).cast("int").alias("endp"),
+            F.lower(F.concat_ws(" ", F.slice(F.col("w"), i, k)))
+            .alias("shingle"),
+        ),
+    )
+    sh_pos = (
+        base.where(npos > 0)
+        .select("id", F.explode(spans).alias("p"))
+        .select("id", "p.pos", "p.endp", "p.shingle")
+    )
+    freq = sh_pos.groupBy("shingle").agg(F.countDistinct("id").alias("df"))
+    covered = (
+        sh_pos.join(freq.where(F.col("df") >= min_df), "shingle")
+        .select("id", F.explode(F.sequence("pos", "endp")).alias("widx"))
+        .distinct()
+    )
+    words = base.select(
+        "id", F.posexplode("w").alias("j", "word")
+    ).select("id", (F.col("j") + 1).alias("widx"), "word")
+    kept = words.join(covered, ["id", "widx"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("widx", "word"))),
+            lambda s: s["word"],
+        )).alias("text_clean"),
+    )
+    return (
+        base.select("id", F.size("w").cast("long").alias("n_words"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 TFIDF_TOP_K = 3
 
 
 def tfidf_keywords(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
-                   top_k: int = TFIDF_TOP_K) -> DataFrame:
+                   top_k: int = TFIDF_TOP_K,
+                   broadcast_limit: int | None = LM_BROADCAST_LIMIT
+                   ) -> DataFrame:
     """Per-document keyword extraction: top-k terms by smoothed TF-IDF
     (idf = ln((N+1)/(df+1)) + 1), deterministic tie-break (score DESC,
     word ASC) — the labeling/analysis pass that tags corpus documents
     with their distinguishing terms.
 
     Two map-side-combined aggregations build tf (doc_id, word) and df
-    (word); N is a scalar; scoring joins tf against the BROADCAST df
-    table (vocabulary-sized); the top-k window partitions BY DOCUMENT, so
-    its sort is per-doc-vocabulary-sized and embarrassingly parallel —
-    no global ordering anywhere. Scores are rounded to 6dp BEFORE ranking
-    so cross-engine ulp noise in ln cannot flip a tie."""
+    (word); N is a scalar; scoring joins tf against the df table via
+    :func:`_count_table_join` — broadcast while the vocabulary is below
+    ``broadcast_limit`` rows, salted shuffle-on-word beyond it (unbounded
+    webtext vocabularies must not ride a forced broadcast). The top-k
+    window partitions BY DOCUMENT, so its sort is per-doc-vocabulary-sized
+    and embarrassingly parallel — no global ordering anywhere. Scores are
+    rounded to 6dp BEFORE ranking so cross-engine ulp noise in ln cannot
+    flip a tie."""
+    from pyspark import StorageLevel
+
     toks = docs.select(F.col(id_col).alias("id"),
                        F.explode(_tokens(F.col(text_col))).alias("word"))
     tf = toks.groupBy("id", "word").agg(F.count("*").alias("tf"))
-    df_t = toks.groupBy("word").agg(F.countDistinct("id").alias("df"))
+    df_t = toks.groupBy("word").agg(F.countDistinct("id").alias("df")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = docs.count()  # scalar by design
+    n_vocab = df_t.count()
 
-    scored = tf.join(F.broadcast(df_t), "word").select(
+    scored = _count_table_join(
+        tf, df_t, "word", "word", "df", "inner",
+        ("id", "word"), n_vocab, broadcast_limit,
+    ).select(
         "id", "word", "tf",
         F.round(F.col("tf") * (F.log((F.lit(n_docs) + 1.0)
                                      / (F.col("df") + 1)) + 1), 6)
         .alias("tfidf"),
     )
     w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("word"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= top_k)
         .select(F.col("id").alias(id_col), "rank", "word",
                 F.col("tf").cast("long").alias("tf"), "tfidf")
     )
+    out._erps_persisted = [df_t]
+    return out

@@ -3116,6 +3116,97 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Exact-substring span REMOVAL (the operation behind the
+    `docs_dup_span` diagnostic): every word covered by a 5-shingle that
+    occurs in ≥2 documents is stripped, survivors reassembled in order —
+    RefinedWeb's dedup step that actually changes the corpus. Two
+    shuffles (shingle df, per-doc rebuild); the positional fan-outs are
+    map-side. Library: operators/curation.py:remove_duplicate_spans."""
+    from ..operators.curation import remove_duplicate_spans
+
+    return remove_duplicate_spans(_t_wide(spark, sf_dir, "documents"))
+
+
+# positional shingles over original-case words, matched case-insensitively
+# (lower() on the joined slice); degenerate docs (n < 5) carry one
+# whole-doc shingle covering every word — mirrors remove_duplicate_spans
+ORACLE_REMOVE_DUP_SPANS = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id, i AS pos, least(i + 4, len(w)) AS endp,
+         lower(array_to_string(list_slice(w, i, i + 4), ' ')) AS shingle
+  FROM (SELECT doc_id, w,
+               CASE WHEN len(w) >= 5 THEN len(w) - 4
+                    WHEN len(w) > 0 THEN 1 ELSE 0 END AS npos
+        FROM base),
+       unnest(generate_series(1, npos)) AS g(i)
+), freq AS (
+  SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY shingle
+), covered AS (
+  SELECT DISTINCT p.doc_id, j AS widx
+  FROM pos p JOIN freq f USING (shingle),
+       unnest(generate_series(p.pos, p.endp)) AS u(j)
+  WHERE f.df >= 2
+), words AS (
+  SELECT doc_id, j AS widx, w[j] AS word
+  FROM base, unnest(generate_series(1, len(w))) AS g(j)
+), kept AS (
+  SELECT ws.* FROM words ws
+  ANTI JOIN covered c ON ws.doc_id = c.doc_id AND ws.widx = c.widx
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY widx) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.w) AS BIGINT) AS n_words,
+       CAST(len(b.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.text_clean, '') AS text_clean
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_curation_gate_extended(spark, sf_dir):
+    """The extended curation gate: base per-document rules (lang /
+    quality / repetition) AND the two corpus-level signals stacked the
+    way production gates actually compose them — duplicated-span
+    fraction ≤ 0.5 and LM pseudo-perplexity ≤ 30.65 (≈ corpus p75, so
+    the cap genuinely splits the data). Each signal is its own emitted
+    flag; the oracle composes the three signal CTEs and verifies every
+    rule. Library: operators/curation.py:curation_flags(extended=True)."""
+    return curation_flags(_t_wide(spark, sf_dir, "documents"),
+                          extended=True)
+
+
+def _oracle_curation_gate_extended() -> str:
+    from ..operators.curation import GATE_MAX_DUP_SPAN, GATE_MAX_PPL
+
+    return f"""
+WITH base AS ({_oracle_curation_gate()}),
+spans AS ({ORACLE_DOCS_DUP_SPAN}),
+ppl AS ({ORACLE_DOCS_LM_PERPLEXITY}),
+ext AS (
+  SELECT b.doc_id, b.lang_ok, b.quality_ok, b.repetition_ok,
+         coalesce(s.dup_span_frac, 0.0) <= {GATE_MAX_DUP_SPAN}
+           AS dup_span_ok,
+         (p.perplexity IS NULL OR p.perplexity <= {GATE_MAX_PPL})
+           AS perplexity_ok
+  FROM base b
+  JOIN spans s USING (doc_id)
+  JOIN ppl p USING (doc_id)
+)
+SELECT doc_id, lang_ok, quality_ok, repetition_ok, dup_span_ok,
+       perplexity_ok,
+       (lang_ok AND quality_ok AND repetition_ok AND dup_span_ok
+        AND perplexity_ok) AS keep
+FROM ext
+"""
+
+
 RESIZE_W, RESIZE_H = 5, 4
 
 
@@ -3235,6 +3326,8 @@ QUERIES = {
     "training_corpus": q_training_corpus,
     "corpus_curation": q_corpus_curation,
     "curation_gate": q_curation_gate,
+    "remove_dup_spans": q_remove_dup_spans,
+    "curation_gate_extended": q_curation_gate_extended,
     "docs_chunk": q_docs_chunk,
     "pack_sequences": q_pack_sequences,
     "corpus_length_stats": q_corpus_length_stats,
@@ -3379,6 +3472,8 @@ ORACLE_SQL = {
     "docs_pii_redact": ORACLE_DOCS_PII_REDACT,
     "url_canonicalize": ORACLE_URL_CANONICALIZE,
     "curation_gate": _oracle_curation_gate(),
+    "remove_dup_spans": ORACLE_REMOVE_DUP_SPANS,
+    "curation_gate_extended": _oracle_curation_gate_extended(),
     "docs_chunk": ORACLE_DOCS_CHUNK,
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "media_ppm_decode": ORACLE_MEDIA_PPM_DECODE,

@@ -193,3 +193,186 @@ def test_training_corpus_caches_release_deterministically(spark):
     assert len(getattr(out, "_erps_persisted", [])) >= 2  # shingles + sigs
     release_persisted(out)
     assert cached_ids() <= before
+
+
+# --- round-4 additions: span removal, extended gate, unbounded-vocab fallback
+
+
+def _py_remove_spans(texts: dict, k: int = 5, min_df: int = 2) -> dict:
+    """Pure-Python reference for remove_duplicate_spans."""
+    toks = {i: [w for w in t.split() if w] for i, t in texts.items()}
+
+    def spans(ws):
+        if not ws:
+            return []
+        if len(ws) < k:
+            return [(1, len(ws), " ".join(ws).lower())]
+        return [(i, i + k - 1, " ".join(ws[i - 1:i + k - 1]).lower())
+                for i in range(1, len(ws) - k + 2)]
+
+    df: dict = {}
+    for i, ws in toks.items():
+        for sh in {s for _, _, s in spans(ws)}:
+            df[sh] = df.get(sh, 0) + 1
+    out = {}
+    for i, ws in toks.items():
+        covered = set()
+        for a, b, sh in spans(ws):
+            if df[sh] >= min_df:
+                covered.update(range(a, b + 1))
+        kept = [w for j, w in enumerate(ws, 1) if j not in covered]
+        out[i] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+def test_remove_duplicate_spans_vs_python(spark):
+    """Constructed corpus with a known shared 5-span, a whole shared short
+    doc, and unique text: Spark output matches the scalar reference
+    row-for-row (counts AND reassembled text)."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "intro words alpha beta gamma delta epsilon closing run here",
+        3: "totally unique text with no shared spans at all present",
+        4: "short shared doc",
+        5: "short shared doc",
+        6: "Alpha Beta GAMMA delta epsilon different tail words here now",
+        7: "",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_removed"], r["text_clean"])
+           for r in remove_duplicate_spans(docs).collect()}
+    want = _py_remove_spans(texts)
+    want[7] = (0, 0, "")
+    assert got == want
+    # the case-insensitive match fired: doc 6 lost its Alpha..epsilon span
+    assert got[6][1] >= 5
+    # the fully-shared short docs were removed entirely
+    assert got[4] == (3, 3, "") and got[5] == (3, 3, "")
+
+
+def test_training_corpus_remove_spans_budget(spark):
+    """remove_spans=True budgets equal the manual composition: strip spans
+    from the surviving docs, drop the fully-stripped, chunk, aggregate —
+    i.e. the budgets shrink exactly by the removed spans."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        remove_duplicate_spans, training_corpus,
+    )
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+
+    docs = _docs(spark)
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+
+    base = training_corpus(docs, eval_docs)
+    plain = {r["source"]: (r["n_docs"], r["n_chunks"], r["n_words"])
+             for r in base.collect()}
+    out_df = training_corpus(docs, eval_docs, remove_spans=True)
+    out = {r["source"]: (r["n_docs"], r["n_chunks"], r["n_words"])
+           for r in out_df.collect()}
+    release_persisted(base)
+    release_persisted(out_df)
+
+    # manual composition over the same kept set
+    from entity_resolution_pipeline_spark.operators.curation import (
+        chunk_documents, curation_flags,
+    )
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        contamination_flags, fuzzy_dedup,
+    )
+    keepers = fuzzy_dedup(docs, k=3, n_bands=4, threshold=0.7) \
+        .where("is_keeper").select(F.col("id").cast("long").alias("doc_id"))
+    clean = contamination_flags(docs, eval_docs) \
+        .where(~F.col("contaminated")).select("doc_id")
+    gated = curation_flags(docs).where("keep").select("doc_id")
+    kept = docs.select("doc_id", "source", "text") \
+        .join(keepers, "doc_id").join(clean, "doc_id").join(gated, "doc_id")
+    stripped = remove_duplicate_spans(kept)
+    kept2 = kept.select("doc_id", "source").join(
+        stripped.where(F.col("n_removed") < F.col("n_words"))
+        .select("doc_id", F.col("text_clean").alias("text")), "doc_id")
+    manual = {
+        r["source"]: (r["n_docs"], r["n_chunks"], r["n_words"])
+        for r in chunk_documents(kept2, carry=("source",))
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_chunks"),
+             F.sum("n_words").alias("n_words")).collect()
+    }
+    assert out == manual
+    # the kept set is already fuzzy-deduplicated, so at sf0.001 there may
+    # be nothing left to strip — budgets can only ever shrink, though
+    assert sum(v[2] for v in out.values()) <= sum(v[2] for v in plain.values())
+
+    # inject corpus-wide boilerplate (the case remove_spans exists for):
+    # every doc shares a >=5-word tail span, so the stripped pipeline's
+    # word budget MUST shrink strictly vs the plain one on the same corpus
+    boiler = docs.withColumn(
+        "text", F.concat(F.col("text"),
+                         F.lit(" standard footer boilerplate sentence"
+                               " repeated on every page")))
+    plain_b_df = training_corpus(boiler, eval_docs)
+    strip_b_df = training_corpus(boiler, eval_docs, remove_spans=True)
+    plain_b = sum(r["n_words"] for r in plain_b_df.collect())
+    strip_b = sum(r["n_words"] for r in strip_b_df.collect())
+    release_persisted(plain_b_df)
+    release_persisted(strip_b_df)
+    assert strip_b < plain_b
+
+
+def test_lm_and_tfidf_fallback_bit_equal(spark):
+    """broadcast_limit=0 forces the salted shuffle-on-token path for BOTH
+    LM tables and the tfidf df table; results match the broadcast path
+    bit-for-bit (the salting replicates counts, never changes them)."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        lm_perplexity, tfidf_keywords,
+    )
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+
+    docs = _docs(spark)
+    for fn in (lm_perplexity, tfidf_keywords):
+        bc = fn(docs)
+        sh = fn(docs, broadcast_limit=0)
+        a = sorted(map(tuple, bc.collect()))
+        b = sorted(map(tuple, sh.collect()))
+        release_persisted(bc)
+        release_persisted(sh)
+        assert a == b and a
+
+
+def test_curation_flags_extended(spark):
+    """extended keep == base keep AND dup_span cap AND perplexity cap,
+    recomputed independently from the two signal operators; both new
+    flags genuinely split the sf0.001 corpus."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        GATE_MAX_DUP_SPAN, GATE_MAX_PPL, dup_span_fraction, lm_perplexity,
+    )
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+
+    docs = _docs(spark)
+    ext_df = curation_flags(docs, extended=True)
+    ext = {r["doc_id"]: r for r in ext_df.collect()}
+    release_persisted(ext_df)
+    base = {r["doc_id"]: r["keep"] for r in curation_flags(docs).collect()}
+    spans = {r["doc_id"]: (r["dup_span_frac"] or 0.0) <= GATE_MAX_DUP_SPAN
+             for r in dup_span_fraction(docs).collect()}
+    ppl_df = lm_perplexity(docs)
+    ppl = {r["doc_id"]: r["perplexity"] is None
+           or r["perplexity"] <= GATE_MAX_PPL for r in ppl_df.collect()}
+    release_persisted(ppl_df)
+    assert set(ext) == set(base)
+    for i, r in ext.items():
+        assert r["dup_span_ok"] == spans[i]
+        assert r["perplexity_ok"] == ppl[i]
+        assert r["keep"] == (base[i] and spans[i] and ppl[i])
+    for flag in ("dup_span_ok", "perplexity_ok"):
+        assert {r[flag] for r in ext.values()} == {True, False}, flag
