@@ -154,7 +154,8 @@ def _unit_col(vec):
 
 def pq_train_codebooks(vectors: DataFrame, m: int = 4, k_cent: int = 16,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       seed: int = 42) -> list[list[list[float]]]:
+                       seed: int = 42,
+                       normalize: bool = True) -> list[list[list[float]]]:
     """Seeded PQ codebooks: for each of ``m`` subspaces, the ``k_cent``
     corpus SUBvectors with smallest md5(id:seed:m) — the same reproducible
     draw as the IVF coarse quantizer (production would k-means a sample;
@@ -164,9 +165,14 @@ def pq_train_codebooks(vectors: DataFrame, m: int = 4, k_cent: int = 16,
     All ``m`` draws happen in ONE corpus pass: each row emits its m
     (subspace, hash, subvector) structs, and a per-subspace top-k window
     (rank ≤ k_cent ⇒ WindowGroupLimit pushes a partial top-k below the
-    exchange) picks the winners — not m separate orderBy+limit jobs."""
+    exchange) picks the winners — not m separate orderBy+limit jobs.
+
+    ``normalize=False`` trains on the vectors as given (cast to double) —
+    the residual-PQ path, where the caller already subtracted the coarse
+    centroid in unit space."""
     sub_dim_expr = (F.size(F.col(vec_col)) / m).cast("int")
-    unit = _unit_col(F.col(vec_col))
+    unit = _unit_col(F.col(vec_col)) if normalize else \
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
     per_sub = F.array(*[
         F.struct(
             F.lit(mi).alias("mi"),
@@ -190,15 +196,20 @@ def pq_train_codebooks(vectors: DataFrame, m: int = 4, k_cent: int = 16,
 
 
 def pq_encode(vectors: DataFrame, books: list[list[list[float]]],
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              normalize: bool = True,
+              keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Encode every vector as ``m`` centroid codes (argmin squared-L2 per
     subspace, ties to the smaller code). One NARROW projection against the
     literal codebooks — at 10^12 rows the corpus is touched once,
     map-side, and the output row is id + m bytes-worth of codes (the
-    memory-compression half of IVF-PQ)."""
+    memory-compression half of IVF-PQ). ``normalize=False`` encodes the
+    vectors as given (residual-PQ path); ``keep_cols`` ride along (the
+    IVF cell id)."""
     m, k_cent = len(books), len(books[0])
     sub_dim = len(books[0][0])
-    vec_d = _unit_col(F.col(vec_col))
+    vec_d = _unit_col(F.col(vec_col)) if normalize else \
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
     codes = []
     for mi in range(1, m + 1):
         sub = F.slice(vec_d, (mi - 1) * sub_dim + 1, sub_dim)
@@ -212,7 +223,7 @@ def pq_encode(vectors: DataFrame, books: list[list[list[float]]],
         ])
         codes.append(F.array_min(cands)["cid"].alias(f"c{mi}"))
     return vectors.select(
-        F.col(id_col), F.array(*codes).alias("codes"))
+        F.col(id_col), *keep_cols, F.array(*codes).alias("codes"))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -267,11 +278,147 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  .where(F.col("rank") <= k)
 
 
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                n_cells: int = 8, n_probe: int = 2,
+                m: int = 4, k_cent: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id", seed: int = 42,
+                train: str = "draw", iters: int = 3,
+                refine: int | None = None) -> DataFrame:
+    """IVF + residual PQ — FAISS IndexIVFPQ semantics, the production
+    100 TB ANN deployment shape: the coarse quantizer prunes the corpus to
+    the query's ``n_probe`` nearest cells, and WITHIN cells ranking is
+    PQ asymmetric distance over RESIDUALS (unit vector minus its cell's
+    unit centroid). Residual quantization is what makes the composition
+    finer than flat PQ: the residual cloud is far more compact than the
+    raw corpus, so the same m×k_cent codebook budget spends its codes on
+    much smaller distances (FAISS's IndexIVFPQ does exactly this).
+
+    Distribution shape: one narrow corpus pass assigns cells, one narrow
+    pass encodes residuals to (id, cell_id, m codes); the search join
+    ships only codes, shuffles on cell_id, and each query touches
+    n_probe/n_cells of the corpus. Both quantizers (coarse centroids,
+    residual codebooks) are tiny driver state, exactly like FAISS index
+    training. ``train="kmeans"`` Lloyd-refines the residual codebooks
+    (the battery row keeps the seeded ``"draw"`` so the full-plan SQL
+    oracle stays replicable).
+
+    ``refine=R`` adds the FAISS IndexRefine step: the ADC scan produces a
+    per-query shortlist of R candidates, which are re-ranked by EXACT
+    cosine (one id-keyed join fetches just the R×queries shortlist
+    vectors — the random-access fetch FAISS does from its flat refine
+    index). This is how IVFPQ is actually deployed: ADC makes probing
+    cheap enough to widen n_probe, and the refine pass restores exact
+    ordering on the shortlist, so the composition beats BOTH an exact
+    IVF at a narrower probe budget AND flat PQ at the same code budget
+    (pytest-pinned). Refined output carries ``cosine`` instead of
+    ``adc_dist``.
+
+    Returns (query_id, neighbor_id, adc_dist | cosine, rank) — ascending
+    ADC squared-L2 in unit space ranks like descending cosine.
+    """
+    centroids, assigned = ivf_assign_cells(corpus, n_cells, id_col,
+                                           vec_col, seed)
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    # unit-normalize the coarse centroids driver-side: Python float64
+    # arithmetic (sequential sum) matches the SQL-oracle fold exactly
+    cent_unit = []
+    for r in cent_rows:
+        vec = [float(x) for x in r["centroid"]]
+        nrm = (sum(x * x for x in vec)) ** 0.5
+        cent_unit.append([x / nrm for x in vec] if nrm > 0 else vec)
+    cent_arr = F.array(*[
+        F.array(*[F.lit(x) for x in c]) for c in cent_unit
+    ])
+
+    resid = F.zip_with(
+        _unit_col(F.col(vec_col)),
+        F.element_at(cent_arr, F.col("cell_id")),
+        lambda x, y: x - y,
+    )
+    resid_corpus = assigned.select(F.col(id_col), "cell_id",
+                                   resid.alias("r"))
+    if train == "kmeans":
+        books = pq_train_codebooks_kmeans(resid_corpus, m, k_cent, iters,
+                                          id_col, "r", seed,
+                                          normalize=False)
+    else:
+        books = pq_train_codebooks(resid_corpus, m, k_cent, id_col, "r",
+                                   seed, normalize=False)
+    sub_dim = len(books[0][0])
+    codes = pq_encode(resid_corpus, books, id_col, "r", normalize=False,
+                      keep_cols=("cell_id",))
+
+    # probe selection: same coarse ranking as ivf_topk
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    qc = q.crossJoin(F.broadcast(centroids))
+    sim = cosine_col(F.col("q_vec"), F.col("centroid"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(sim), F.asc("cell_id"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "q_vec", "cell_id")
+    )
+    # per-(query, probed cell) ADC distance table over the query residual
+    q_resid = F.zip_with(
+        _unit_col(F.col("q_vec")),
+        F.element_at(cent_arr, F.col("cell_id")),
+        lambda x, y: x - y,
+    )
+    probes = probes.select("query_id", "cell_id", q_resid.alias("qr"))
+    dtab = F.array(*[
+        F.array(*[
+            _sqdist_col(F.slice(F.col("qr"), (mi - 1) * sub_dim + 1, sub_dim),
+                        F.array(*[F.lit(v) for v in books[mi - 1][c]]))
+            for c in range(k_cent)
+        ])
+        for mi in range(1, m + 1)
+    ])
+    probes = probes.select("query_id", "cell_id", dtab.alias("dtab"))
+
+    joined = codes.join(F.broadcast(probes), "cell_id") \
+                  .where(F.col(id_col) != F.col("query_id"))
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
+        lambda acc, mi: acc + F.element_at(F.element_at(F.col("dtab"), mi),
+                                           F.element_at(F.col("codes"), mi)),
+    )
+    scored = joined.select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        F.round(adc, 6).alias("adc_dist"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                                F.asc("neighbor_id"))
+    if refine is None:
+        return scored.withColumn("rank",
+                                 F.row_number().over(w2).cast("int")) \
+                     .where(F.col("rank") <= k)
+    shortlist = scored.withColumn("_rn", F.row_number().over(w2)) \
+                      .where(F.col("_rn") <= max(refine, k)) \
+                      .select("query_id", "neighbor_id")
+    exact = (
+        shortlist
+        .join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("c_vec")), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
+                .alias("cosine"))
+    )
+    w3 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w3).cast("int")) \
+                .where(F.col("rank") <= k)
+
+
 def pq_train_codebooks_kmeans(vectors: DataFrame, m: int = 4,
                               k_cent: int = 16, iters: int = 3,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              seed: int = 42) -> list[list[list[float]]]:
+                              seed: int = 42,
+                              normalize: bool = True
+                              ) -> list[list[list[float]]]:
     """Lloyd-refined PQ codebooks (the production training path; the
     seeded draw is the reproducible fallback/init). Deterministic: init =
     :func:`pq_train_codebooks`, then ``iters`` k-means rounds — assign
@@ -284,11 +431,14 @@ def pq_train_codebooks_kmeans(vectors: DataFrame, m: int = 4,
     break to the smaller code, so the result is reproducible anywhere."""
     from pyspark import StorageLevel
 
-    books = pq_train_codebooks(vectors, m, k_cent, id_col, vec_col, seed)
+    books = pq_train_codebooks(vectors, m, k_cent, id_col, vec_col, seed,
+                               normalize=normalize)
     sub_dim = len(books[0][0])
     # the normalized projection feeds every Lloyd round — persist once
     # instead of re-deriving the sqrt-fold chain per iteration
-    unit = vectors.select(_unit_col(F.col(vec_col)).alias("e")) \
+    proj = _unit_col(F.col(vec_col)) if normalize else \
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    unit = vectors.select(proj.alias("e")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     for _it in range(iters):
         per_sub = []

@@ -981,6 +981,128 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF + residual PQ (FAISS IndexIVFPQ): coarse cells prune the scan
+    (n_cells=8, n_probe=2) and ranking within probed cells is ADC over
+    RESIDUALS (unit vector minus unit cell centroid) with seeded 4×16
+    codebooks. The oracle replicates the ENTIRE composed plan in SQL —
+    centroid draw, cosine cell assignment, residual computation, residual
+    codebook draw, argmin encode, per-(query, probed-cell) distance
+    tables, ADC sum — so the hash match verifies the composition itself.
+    The battery row keeps the seeded draw + no refine for SQL parity; the
+    production setting (kmeans codebooks + exact refine of the ADC
+    shortlist) is pytest-pinned to beat BOTH halves' recall
+    (tests/test_dedup_ann.py). Library: operators/ann.py:ivf_pq_topk."""
+    from ..operators.ann import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_pq_topk(emb, queries, k=PQ_TOPK, n_cells=8, n_probe=2,
+                       m=PQ_M, k_cent=PQ_K)
+
+
+def _oracle_ann_ivf_pq() -> str:
+    """DuckDB replica of the full IndexIVFPQ plan in ivf_pq_topk."""
+    cos_ac = _IVF_COS.format(a="v.e", b="cn.c")
+    cos_qc = _IVF_COS.format(a="q.qv", b="cn.c")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), u0 AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+), u AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END
+           AS eu
+  FROM u0
+), cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY _h) AS INT) AS cell_id, e AS c
+  FROM (SELECT e, md5(CAST(vec_id AS VARCHAR) || ':42') AS _h
+        FROM v ORDER BY _h LIMIT 8)
+), centu AS (
+  SELECT cell_id,
+         CASE WHEN nrm > 0 THEN list_transform(c, x -> x / nrm) ELSE c END
+           AS cu
+  FROM (SELECT cell_id, c,
+               sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm
+        FROM cent)
+), asg AS (
+  SELECT v.vec_id, cn.cell_id,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY {cos_ac} DESC, cn.cell_id ASC) AS rn
+  FROM v CROSS JOIN cent cn
+), cells AS (
+  SELECT vec_id, cell_id FROM asg WHERE rn = 1
+), resid AS (
+  SELECT u.vec_id, cl.cell_id,
+         list_transform(generate_series(1, len(u.eu)),
+                        i -> u.eu[i] - cu.cu[i]) AS r
+  FROM u JOIN cells cl USING (vec_id) JOIN centu cu USING (cell_id)
+), sub AS (
+  SELECT vec_id, cell_id, m,
+         list_slice(r, (m - 1) * 16 + 1, m * 16) AS s
+  FROM resid, unnest([1, 2, 3, 4]) AS t(m)
+), books AS (
+  SELECT m, s AS bcent,
+         CAST(row_number() OVER (
+           PARTITION BY m
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42:'
+                        || CAST(m AS VARCHAR))) AS INTEGER) AS cid
+  FROM sub
+  QUALIFY cid <= {PQ_K}
+), cdists AS (
+  SELECT s.vec_id, s.cell_id, s.m, b.cid,
+         list_sum(list_transform(generate_series(1, 16),
+                  i -> (s.s[i] - b.bcent[i]) * (s.s[i] - b.bcent[i]))) AS d
+  FROM sub s JOIN books b USING (m)
+), codes AS (
+  SELECT vec_id, cell_id, m, cid
+  FROM cdists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) = 1
+), q AS (
+  SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 20
+), pr AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, cn.cell_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos_qc} DESC, cn.cell_id ASC) AS rn
+    FROM q CROSS JOIN cent cn) WHERE rn <= 2
+), qresid AS (
+  SELECT p.query_id, p.cell_id,
+         list_transform(generate_series(1, len(u.eu)),
+                        i -> u.eu[i] - cu.cu[i]) AS r
+  FROM pr p JOIN u ON p.query_id = u.vec_id
+  JOIN centu cu USING (cell_id)
+), qsub AS (
+  SELECT query_id, cell_id, m,
+         list_slice(r, (m - 1) * 16 + 1, m * 16) AS s
+  FROM qresid, unnest([1, 2, 3, 4]) AS t(m)
+), qdists AS (
+  SELECT s.query_id, s.cell_id, s.m, b.cid,
+         list_sum(list_transform(generate_series(1, 16),
+                  i -> (s.s[i] - b.bcent[i]) * (s.s[i] - b.bcent[i]))) AS d
+  FROM qsub s JOIN books b USING (m)
+), adc AS (
+  SELECT qd.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list(qd.d ORDER BY qd.m)), 6) AS adc_dist
+  FROM codes c
+  JOIN qdists qd ON qd.cell_id = c.cell_id AND qd.m = c.m
+                AND qd.cid = c.cid
+  WHERE c.vec_id <> qd.query_id
+  GROUP BY qd.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank
+FROM adc
+QUALIFY rank <= {PQ_TOPK}
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (all-pairs baseline path)."""
     from ..operators.dedup import embedding_near_duplicates
@@ -3349,6 +3471,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "ann_ivf_pq": q_ann_ivf_pq,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_srp": q_embedding_near_dup_srp,
     "embedding_centroids": q_embedding_centroids,
@@ -3442,6 +3565,7 @@ ORACLE_SQL = {
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf": _oracle_ann_ivf(),
     "ann_pq": ORACLE_ANN_PQ,
+    "ann_ivf_pq": _oracle_ann_ivf_pq(),
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_srp": _oracle_embedding_near_dup_srp(),
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,

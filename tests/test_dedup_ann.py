@@ -195,3 +195,50 @@ def test_pq_kmeans_training_improves_recall(spark):
     r_draw, r_km = recall("draw"), recall("kmeans")
     assert r_km > r_draw, (r_km, r_draw)
     assert r_km >= 0.30, r_km
+
+
+def test_ivf_pq_refine_beats_both_halves(spark):
+    """IndexIVFPQ deployment shape (kmeans residual codebooks m=8, probe
+    4/8 cells, exact refine of the ADC-top-100 shortlist) must beat BOTH
+    halves at their shipped settings on recall@20 vs brute force — the
+    composition is what ADC's cheapness buys: a wider probe budget plus
+    exact ordering on the shortlist (measured 0.52 vs ivf 0.44 / pq
+    0.33 at sf0.001; fully seeded + deterministic ties, so the
+    inequality is stable). Unrefined draw mode is the oracle-checked
+    battery row `ann_ivf_pq`; it must stay deterministic."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_pipeline_spark.operators.ann import (
+        brute_force_topk, ivf_pq_topk, ivf_topk, pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    gt = topsets(brute_force_topk(emb, q, k=20))
+
+    def recall(d):
+        return sum(len(d.get(k, set()) & v) / len(v)
+                   for k, v in gt.items()) / len(gt)
+
+    r_ivf = recall(topsets(ivf_topk(emb, q, k=20, n_cells=8, n_probe=2)))
+    r_pq = recall(topsets(pq_topk(emb, q, k=20, m=8, k_cent=16,
+                                  train="kmeans")))
+    r_comp = recall(topsets(ivf_pq_topk(
+        emb, q, k=20, n_cells=8, n_probe=4, m=8, k_cent=16,
+        train="kmeans", refine=100)))
+    assert r_comp >= max(r_ivf, r_pq), (r_comp, r_ivf, r_pq)
+
+    # unrefined draw mode (the battery row) is deterministic
+    a = sorted(map(tuple, ivf_pq_topk(emb, q, k=5, n_cells=8, n_probe=2,
+                                      m=4, k_cent=16).collect()))
+    b = sorted(map(tuple, ivf_pq_topk(emb, q, k=5, n_cells=8, n_probe=2,
+                                      m=4, k_cent=16).collect()))
+    assert a == b and a
