@@ -1,10 +1,19 @@
 """Local replica of the driver's correctness gate: run each Spark query and
 its DuckDB oracle side-by-side at sf=0.01, compare row count, column names,
-and order-insensitive values. Usage: python tools/check_queries.py [names...]
+and order-insensitive values.
+
+Usage: python tools/check_queries.py [--json OUT.json] [names...]
+
+``--json`` additionally writes a machine-readable record with the SAME row
+schema as the driver's CORRECTNESS_r0N.json ({name: {rows_match,
+schema_match, hash_match, spark_rows, oracle_rows, err}}), so rounds can
+commit a complete correctness record for every battery query even when the
+driver's own record caps at 50 rows (round-3 verdict ask #1).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -47,12 +56,27 @@ def normalize(rows, cols):
 
 
 def main() -> int:
-    names = sys.argv[1:] or list(QUERIES)
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    names = args or list(QUERIES)
+    record: dict[str, dict] = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     spark = get_spark(cores=8, shuffle_partitions=8)
     failures = 0
+
+    def rec(name, *, rows=False, schema=False, values=False,
+            spark_rows=None, oracle_rows=None, err=None):
+        record[name] = {
+            "rows_match": rows, "schema_match": schema, "hash_match": values,
+            "spark_rows": spark_rows, "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name in names:
         fn = QUERIES[name]
         t0 = time.monotonic()
@@ -62,10 +86,13 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            rec(name, err=f"spark error: {str(e)[:300]}")
             failures += 1
             continue
         if name not in ORACLE_SQL:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            rec(name, rows=len(srows) >= 0, spark_rows=len(srows),
+                err="no oracle (rows-only check)")
             continue
         try:
             res = con.execute(ORACLE_SQL[name])
@@ -73,14 +100,20 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            rec(name, spark_rows=len(srows),
+                err=f"duckdb error: {str(e)[:300]}")
             failures += 1
             continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL  {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            rec(name, spark_rows=len(srows), oracle_rows=len(orows),
+                err="schema mismatch")
             failures += 1
             continue
         if len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            rec(name, schema=True, spark_rows=len(srows),
+                oracle_rows=len(orows), err="rowcount mismatch")
             failures += 1
             continue
         sn = normalize(srows, scols)
@@ -88,10 +121,18 @@ def main() -> int:
         if sn != on:
             diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
             print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
+            rec(name, rows=True, schema=True, spark_rows=len(srows),
+                oracle_rows=len(orows), err="value mismatch")
             failures += 1
             continue
         print(f"OK    {name}: {len(srows)} rows  [{time.monotonic() - t0:.1f}s]")
+        rec(name, rows=True, schema=True, values=True,
+            spark_rows=len(srows), oracle_rows=len(orows))
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=2)
+        print(f"record written to {json_out}")
     return 1 if failures else 0
 
 
