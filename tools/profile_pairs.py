@@ -102,6 +102,14 @@ def main() -> None:
            .select(*key_cols, "blocking_score",
                    F.concat_ws("|", *[F.when(F.col(f"_has_{s}") == 1, F.lit(s))
                                       for s in srcs]).alias("sources")))
+    # (c0) digest agg ONLY — no top-N window; (c) minus (c0) isolates the
+    # window's extra exchange + per-partition sort
+    t0 = time.perf_counter()
+    agg.write.mode("overwrite").parquet(f"{tmp}/agg_nowin")
+    n_agg = spark.read.parquet(f"{tmp}/agg_nowin").count()
+    print(f"digest agg (no window) + write: {time.perf_counter()-t0:.1f}s "
+          f"agg_rows={n_agg}", flush=True)
+
     w = Window.partitionBy("_h1_url_a", "_h2_url_a").orderBy(
         F.desc("blocking_score"), F.asc("_h1_url_b"), F.asc("_h2_url_b"))
     capped = agg.withColumn("rn", F.row_number().over(w)) \
