@@ -45,6 +45,8 @@ BATTERY = [
     "embedding_near_dup_srp", "connected_components",
     "incremental_near_dup", "curation_gate", "decontaminate",
     "training_corpus", "vocab_topk",
+    # round-4 rows
+    "remove_dup_spans", "curation_gate_extended", "ann_ivf_pq",
 ]
 
 

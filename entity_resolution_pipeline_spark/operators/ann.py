@@ -98,13 +98,17 @@ def ivf_assign_cells(vectors: DataFrame, n_cells: int = 16,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id", seed: int = 42) -> DataFrame:
+             query_id_col: str = "query_id", seed: int = 42,
+             state: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
     """IVF search: score only vectors in the query's n_probe nearest cells.
 
     The corpus-side join key is cell_id, so a 100 TB corpus shuffles once to
     co-locate by cell and each query touches n_probe/n_cells of it.
+    ``state`` passes a prebuilt (centroids, assigned) pair — the incremental
+    ANN stream builds it once per corpus snapshot and probes it per batch.
     """
-    centroids, assigned = ivf_assign_cells(corpus, n_cells, id_col, vec_col, seed)
+    centroids, assigned = state if state is not None else \
+        ivf_assign_cells(corpus, n_cells, id_col, vec_col, seed)
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     qc = q.crossJoin(F.broadcast(centroids))

@@ -2370,6 +2370,27 @@ def q_stream_decontaminate(spark, sf_dir):
         timeout_s=240)
 
 
+def q_stream_ann(spark, sf_dir):
+    """Incremental similarity search as a foreachBatch stream
+    (streaming/incremental.py:stream_delta_ann): the corpus is IVF-indexed
+    ONCE into static persisted state (driver centroids + cell-assigned
+    vectors); newly landed embedding vectors (vec_id < 20) stream in and
+    each micro-batch probes its n_probe nearest cells with a cell-key
+    join — new vectors get neighbors, the corpus is never re-indexed.
+    Batching-invariant (a delta vector's result depends only on corpus
+    state + its own row), so the stream equals the one-shot ivf_topk and
+    REUSES the full-plan ann_ivf oracle (seeded centroid draw, cosine
+    assignment, probe selection, in-cell exact ranking)."""
+    from ..streaming.incremental import _tmp_sink_dir, stream_delta_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    delta = emb.where(F.col("vec_id") < 20)
+    d = _tmp_sink_dir("inc_annq_")  # atexit-cleaned, like the stream sinks
+    delta.coalesce(1).write.mode("overwrite").parquet(d)
+    return stream_delta_ann(spark, d, emb, k=5, n_cells=8, n_probe=2,
+                            timeout_s=240)
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Incremental delta-vs-corpus near-dup as a foreachBatch stream
     (streaming/incremental.py): the corpus (doc_id % 4 != 0) becomes static
@@ -3444,6 +3465,7 @@ QUERIES = {
     "incremental_near_dup": q_incremental_near_dup,
     "stream_curation": q_stream_curation,
     "stream_decontaminate": q_stream_decontaminate,
+    "stream_ann": q_stream_ann,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
     "corpus_curation": q_corpus_curation,
@@ -3617,5 +3639,6 @@ ORACLE_SQL = {
     "incremental_near_dup": _oracle_incremental_near_dup(),
     "stream_curation": _oracle_stream_curation(),
     "stream_decontaminate": ORACLE_DECONTAMINATE,
+    "stream_ann": _oracle_ann_ivf(),
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

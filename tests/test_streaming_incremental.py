@@ -79,3 +79,37 @@ def test_restart_does_not_duplicate(spark, split_docs, tmp_path):
     again = stream_delta_near_dups(spark, delta_dir, corpus,
                                    stop_threshold=50, sink_dir=sink)
     assert again.count() == n_first
+
+
+def test_stream_delta_ann_equals_batch_ivf(spark, tmp_path):
+    """The incremental ANN stream equals one-shot ivf_topk over the same
+    delta vectors — in one micro-batch AND split file-at-a-time (a delta
+    vector's neighbors are a pure function of corpus state + its row, so
+    batching cannot change them)."""
+    from entity_resolution_pipeline_spark.operators.ann import ivf_topk
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_delta_ann,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_TINY, "embeddings.parquet"))
+    delta = emb.where(F.col("vec_id") < 12)
+    q = delta.select(F.col("vec_id").alias("query_id"), "embedding")
+    want = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in ivf_topk(emb, q, k=4, n_cells=8, n_probe=2).collect()}
+
+    one = str(tmp_path / "one")
+    delta.coalesce(1).write.parquet(one)
+    got1 = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in stream_delta_ann(
+                spark, one, emb, k=4, n_cells=8, n_probe=2,
+                sink_dir=str(tmp_path / "s1")).collect()}
+    assert got1 == want
+
+    many = str(tmp_path / "many")
+    delta.repartition(4).write.parquet(many)
+    got2 = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in stream_delta_ann(
+                spark, many, emb, k=4, n_cells=8, n_probe=2,
+                max_files_per_trigger=1,
+                sink_dir=str(tmp_path / "s2")).collect()}
+    assert got2 == want
