@@ -119,6 +119,48 @@ def bpe_ish_token_count_col(text: Column) -> Column:
     )
 
 
+def token_entropy_col(text: Column) -> Column:
+    """Unigram token entropy in nats (H = ln n − Σ c·ln c / n over
+    whitespace-token counts) — the distribution-shape quality signal
+    (low-entropy docs are repetitive boilerplate even when the Gopher
+    integer caps pass). Zero-shuffle per-row expression: one fold over
+    the SORTED token array accumulates Σ run·ln(run) at run boundaries
+    (same idiom as repetition_counts_col), so the additions happen in
+    token-sorted order — bit-identical to a SQL oracle that sums
+    c·ln(c) over an ORDER BY word list. NULL for empty docs."""
+
+    def _with_words(w: Column) -> Column:
+        n = F.size(w)
+        close = lambda acc: F.when(  # noqa: E731 — bound twice below
+            acc["run"] > 0,
+            acc["s"] + acc["run"] * F.log(acc["run"])).otherwise(acc["s"])
+        folded = F.aggregate(
+            F.array_sort(w),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0.0).alias("s"),
+            ),
+            lambda acc, x: F.when(
+                x == acc["prev"],
+                F.struct(acc["prev"].alias("prev"),
+                         (acc["run"] + 1).alias("run"),
+                         acc["s"].alias("s")),
+            ).otherwise(
+                F.struct(x.alias("prev"),
+                         F.lit(1).cast("long").alias("run"),
+                         close(acc).alias("s")),
+            ),
+            close,
+        )
+        return F.when(
+            n > 0,
+            F.round(F.log(n.cast("double")) - folded / n, 6))
+
+    return _bind(F.filter(F.split(text, r"\s+"), lambda t: t != ""),
+                 _with_words)
+
+
 def quality_score_col(text: Column) -> Column:
     """Composite quality in [0,1] from mean word length, alpha ratio and
     stopword ratio — the shape of heuristic quality filters used by

@@ -3259,6 +3259,68 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_docs_token_stats(spark, sf_dir):
+    """Per-document token accounting for training-data budgeting: the
+    whitespace token count, a BPE-ish subword count (pieces split at
+    whitespace and letter↔digit boundaries — the pretokenizer-shaped
+    proxy for tokenizer cost), and the unigram token ENTROPY in nats
+    (low-entropy docs are repetitive boilerplate even when integer
+    repetition caps pass). All three are zero-shuffle per-row
+    expressions; the entropy fold adds run·ln(run) in token-sorted
+    order, so the oracle's ORDER BY word list_sum matches bit-for-bit.
+    Library: functions/textstats.py:token_count_col /
+    bpe_ish_token_count_col / token_entropy_col."""
+    from ..functions.textstats import (
+        bpe_ish_token_count_col, token_count_col, token_entropy_col,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count_col(F.col("text")).cast("long")
+        .alias("n_bpe_tokens"),
+        token_entropy_col(F.col("text")).alias("token_entropy"),
+    )
+
+
+# BPE-ish count relationally: pieces per \S+ word = 1 + letter<->digit
+# transitions inside it (the zero-width split points of the Spark regex);
+# transition pairs are 2 chars wide, so non-overlapping regexp_extract_all
+# counts them exactly. Entropy: H = ln n - sum(c ln c)/n with the sum taken
+# over an ORDER BY word list — the same addition order as the Spark fold.
+ORACLE_DOCS_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), cnt AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS word FROM t) GROUP BY doc_id, word
+), ent AS (
+  SELECT doc_id, list_sum(list(c * ln(c) ORDER BY word)) AS sumclogc
+  FROM cnt GROUP BY doc_id
+), bpe AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+'))
+         + len(regexp_extract_all(text, '[a-zA-Z][0-9]'))
+         + len(regexp_extract_all(text, '[0-9][a-zA-Z]')) AS nb
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_ws_tokens,
+       CAST(b.nb AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN len(t.toks) > 0
+            THEN round(ln(len(t.toks))
+                       - coalesce(e.sumclogc, 0) / len(t.toks), 6)
+       END AS token_entropy
+FROM documents d
+JOIN t USING (doc_id)
+JOIN bpe b USING (doc_id)
+LEFT JOIN ent e USING (doc_id)
+"""
+
+
 def q_remove_dup_spans(spark, sf_dir):
     """Exact-substring span REMOVAL (the operation behind the
     `docs_dup_span` diagnostic): every word covered by a 5-shingle that
@@ -3472,6 +3534,7 @@ QUERIES = {
     "curation_gate": q_curation_gate,
     "remove_dup_spans": q_remove_dup_spans,
     "curation_gate_extended": q_curation_gate_extended,
+    "docs_token_stats": q_docs_token_stats,
     "docs_chunk": q_docs_chunk,
     "pack_sequences": q_pack_sequences,
     "corpus_length_stats": q_corpus_length_stats,
@@ -3620,6 +3683,7 @@ ORACLE_SQL = {
     "curation_gate": _oracle_curation_gate(),
     "remove_dup_spans": ORACLE_REMOVE_DUP_SPANS,
     "curation_gate_extended": _oracle_curation_gate_extended(),
+    "docs_token_stats": ORACLE_DOCS_TOKEN_STATS,
     "docs_chunk": ORACLE_DOCS_CHUNK,
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "media_ppm_decode": ORACLE_MEDIA_PPM_DECODE,

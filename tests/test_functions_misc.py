@@ -321,3 +321,29 @@ def test_ppm_resize_nearest_neighbor(spark):
     assert small["sum_r"] == sum((9 + s) % 256 for s in src)
     assert small["sum_g"] == sum((9 * 3 + s * 5) % 256 for s in src)
     assert small["sum_b"] == sum((s * 7) % 256 for s in src)
+
+
+def test_token_entropy_matches_python(spark):
+    """token_entropy_col == scalar ln n - sum(c ln c)/n over whitespace
+    tokens (approx to the 6dp rounding); empty docs score NULL."""
+    import math
+
+    from entity_resolution_pipeline_spark.functions.textstats import (
+        token_entropy_col,
+    )
+
+    texts = ["a a a b", "x", "", "one two two three three three",
+             "z z z z", "m n o p q r"]
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, text string")
+    got = {r["i"]: r["h"] for r in df.select(
+        "i", token_entropy_col(F.col("text")).alias("h")).collect()}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split() if w]
+        if not toks:
+            assert got[i] is None
+            continue
+        n = len(toks)
+        counts = {w: toks.count(w) for w in set(toks)}
+        want = math.log(n) - sum(c * math.log(c)
+                                 for c in counts.values()) / n
+        assert got[i] == pytest.approx(want, abs=1e-6), (i, got[i], want)
