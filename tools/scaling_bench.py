@@ -294,6 +294,17 @@ Aggregated e2e bench JSON (stage_sec = per-stage medians):
 """
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # carry over marker-delimited sections other tools own (the curation
+    # capstone legs and the pairs-stage attribution) across the rewrite
+    extra = ""
+    try:
+        prev = open(os.path.join(REPO, "BENCH", "BASELINE.md")).read()
+        for tag in ("pairs-attribution", "curation-scaling"):
+            b, e = f"<!-- {tag}:begin -->", f"<!-- {tag}:end -->"
+            if b in prev and e in prev:
+                extra += "\n" + prev[prev.index(b):prev.index(e) + len(e)] + "\n"
+    except FileNotFoundError:
+        pass
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — scaling evidence (north rule)
 
@@ -360,7 +371,7 @@ pipeline on 2 remote executor JVMs.
 
 Reference single-node anchor: ≈4.4k pairs/s (features stage,
 /root/reference/docs/METHODOLOGY.md:318, pair count docs/DATA_DICTIONARY.md:224).
-""")
+{extra}""")
     print(json.dumps({"pairs_per_sec_N": pN, "pairs_per_sec_4N": p4N,
                       "n": n, "efficiency": round(eff, 3),
                       "median_efficiency": round(eff_med, 3),
