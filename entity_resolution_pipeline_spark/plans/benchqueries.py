@@ -2391,6 +2391,30 @@ def q_stream_ann(spark, sf_dir):
                             timeout_s=240)
 
 
+def q_stream_vocab(spark, sf_dir):
+    """Incremental corpus statistics as a foreachBatch stream
+    (streaming/incremental.py:stream_update_vocab): documents land as a
+    stream and cumulative vocabulary counts are maintained by monoid
+    merge — each batch pays O(|batch| + |vocab|) (batch wordcount +
+    full-outer sum with the predecessor snapshot, written as snapshot
+    v=<batch_id>, replay-overwrite-safe). Counts merge associatively, so
+    the final snapshot equals the one-shot corpus wordcount — which is
+    exactly what the oracle expresses."""
+    from ..streaming.incremental import stream_update_vocab
+
+    return stream_update_vocab(spark, f"{sf_dir}/documents.parquet",
+                               timeout_s=240)
+
+
+ORACLE_STREAM_VOCAB = r"""
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents)
+GROUP BY word
+"""
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Incremental delta-vs-corpus near-dup as a foreachBatch stream
     (streaming/incremental.py): the corpus (doc_id % 4 != 0) becomes static
@@ -3528,6 +3552,7 @@ QUERIES = {
     "stream_curation": q_stream_curation,
     "stream_decontaminate": q_stream_decontaminate,
     "stream_ann": q_stream_ann,
+    "stream_vocab": q_stream_vocab,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
     "corpus_curation": q_corpus_curation,
@@ -3704,5 +3729,6 @@ ORACLE_SQL = {
     "stream_curation": _oracle_stream_curation(),
     "stream_decontaminate": ORACLE_DECONTAMINATE,
     "stream_ann": _oracle_ann_ivf(),
+    "stream_vocab": ORACLE_STREAM_VOCAB,
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

@@ -568,6 +568,88 @@ def stream_delta_ann(
         .select("query_id", "neighbor_id", "cosine", "rank")
 
 
+# --- incremental corpus statistics: mergeable vocab counts -------------------
+
+
+def stream_update_vocab(
+    spark: SparkSession,
+    delta_path: str,
+    text_col: str = "text",
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Incremental vocabulary/token accounting: maintain cumulative corpus
+    word counts as document deltas land — the statistics a training-data
+    pipeline keeps current between snapshots (token budgets, tokenizer
+    coverage) without ever recounting the corpus.
+
+    Counts form a MONOID (merge = per-word sum), so each micro-batch pays
+    O(|batch| + |vocab|): count the batch (map-side-combined wordcount),
+    full-outer-merge with the predecessor snapshot, write snapshot
+    ``v=<batch_id>``. Replay safety is by construction: snapshot ids are
+    the checkpointed batch ids, each snapshot derives only from the
+    newest snapshot with a SMALLER id, and a replayed batch overwrites
+    its own snapshot — so crash/restart cannot double-count (the same
+    versioned-compaction discipline a 100 TB stats store runs). Returns
+    the final (word, n) counts.
+    """
+    from ..operators.curation import _tokens
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(delta_path):
+        parent, fname = os.path.split(delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(delta_path)
+
+    if sink_dir is None:
+        sink_dir = _tmp_sink_dir("inc_vocab_sink_")
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "versions")
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(out_dir):
+            return []
+        return sorted(int(d.split("=", 1)[1]) for d in os.listdir(out_dir)
+                      if d.startswith("v="))
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("n"))
+        )
+        prior = [v for v in _versions() if v < batch_id]
+        if prior:
+            prev = spark.read.parquet(os.path.join(out_dir, f"v={prior[-1]}"))
+            counts = (
+                counts.withColumnRenamed("n", "n_new")
+                .join(prev.withColumnRenamed("n", "n_old"), "word", "full")
+                .select(
+                    "word",
+                    (F.coalesce("n_new", F.lit(0))
+                     + F.coalesce("n_old", F.lit(0))).alias("n"),
+                )
+            )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"v={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, timeout_s, "vocab counts")
+    vs = _versions()
+    if not vs:  # empty delta: no batch ever fired
+        return spark.createDataFrame([], "word string, n bigint")
+    return spark.read.parquet(os.path.join(out_dir, f"v={vs[-1]}")) \
+        .select("word", F.col("n").cast("long").alias("n"))
+
+
 # --- incremental decontamination: new benchmarks probe the static corpus -----
 
 

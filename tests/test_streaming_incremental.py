@@ -113,3 +113,33 @@ def test_stream_delta_ann_equals_batch_ivf(spark, tmp_path):
                 max_files_per_trigger=1,
                 sink_dir=str(tmp_path / "s2")).collect()}
     assert got2 == want
+
+
+def test_stream_update_vocab_batching_invariant(spark, tmp_path):
+    """Cumulative vocab counts equal the one-shot corpus wordcount for a
+    single micro-batch AND file-at-a-time batches (counts are a monoid;
+    versioned snapshots merge associatively)."""
+    from entity_resolution_pipeline_spark.operators.curation import _tokens
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_update_vocab,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_TINY, "documents.parquet")) \
+        .limit(120)
+    want = {(r["word"], r["n"]) for r in
+            docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+            .groupBy("word").agg(F.count("*").cast("long").alias("n"))
+            .collect()}
+
+    one = str(tmp_path / "one")
+    docs.coalesce(1).write.parquet(one)
+    got1 = {(r["word"], r["n"]) for r in stream_update_vocab(
+        spark, one, sink_dir=str(tmp_path / "s1")).collect()}
+    assert got1 == want
+
+    many = str(tmp_path / "many")
+    docs.repartition(4).write.parquet(many)
+    got2 = {(r["word"], r["n"]) for r in stream_update_vocab(
+        spark, many, max_files_per_trigger=1,
+        sink_dir=str(tmp_path / "s2")).collect()}
+    assert got2 == want
