@@ -335,7 +335,8 @@ def _count_table_join(inst: DataFrame, counts: DataFrame, inst_key,
                       counts_key: str, count_col: str, how: str,
                       salt_cols: tuple[str, ...], n_rows: int,
                       broadcast_limit: int | None,
-                      n_salts: int = SALT_N, hot_n: int = HOT_N) -> DataFrame:
+                      n_salts: int | None = None,
+                      hot_n: int | None = None) -> DataFrame:
     """Join a token stream against a (token, count) table.
 
     Below ``broadcast_limit`` rows the count table rides a broadcast hash
@@ -350,6 +351,9 @@ def _count_table_join(inst: DataFrame, counts: DataFrame, inst_key,
     unsalted. Join OUTPUT is identical either way (each instance row still
     meets exactly one count row), which is what the bit-equality pytest
     asserts."""
+    # module-level knobs resolved at CALL time so tests can vary them
+    n_salts = SALT_N if n_salts is None else n_salts
+    hot_n = HOT_N if hot_n is None else hot_n
     cts = counts.withColumnRenamed(counts_key, "_ck")
     if broadcast_limit is None or n_rows <= broadcast_limit:
         return inst.join(F.broadcast(cts),

@@ -99,3 +99,79 @@ def test_lm_perplexity_matches_python_reference(spark, docs):
         else:
             assert got[i]["avg_logp"] == round(alp, 6), (i, alp)
             assert got[i]["perplexity"] == round(math.exp(-alp), 4)
+
+
+def _py_remove_spans(texts: dict[int, str], k: int = 5,
+                     min_df: int = 2) -> dict:
+    toks = {i: [w for w in t.split() if w] for i, t in texts.items()}
+
+    def spans(ws):
+        if not ws:
+            return []
+        if len(ws) < k:
+            return [(1, len(ws), " ".join(ws).lower())]
+        return [(i, i + k - 1, " ".join(ws[i - 1:i + k - 1]).lower())
+                for i in range(1, len(ws) - k + 2)]
+
+    df: dict = {}
+    for ws in toks.values():
+        for sh in {s for _, _, s in spans(ws)}:
+            df[sh] = df.get(sh, 0) + 1
+    out = {}
+    for i, ws in toks.items():
+        covered: set = set()
+        for a, b, sh in spans(ws):
+            if df[sh] >= min_df:
+                covered.update(range(a, b + 1))
+        kept = [w for j, w in enumerate(ws, 1) if j not in covered]
+        out[i] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(doc_strategy)
+def test_remove_duplicate_spans_matches_python_reference(spark, docs):
+    """Span removal equals the scalar reference on hypothesis corpora —
+    the tiny alphabet forces shared 5-shingles, degenerate short docs,
+    and fully-removed docs."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+
+    texts = {i: " ".join(toks) for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_removed"], r["text_clean"])
+           for r in remove_duplicate_spans(df).collect()}
+    assert got == _py_remove_spans(texts)
+
+
+@settings(max_examples=3, deadline=None)
+@given(doc_strategy, st.integers(min_value=1, max_value=6))
+def test_count_join_fallback_any_salt_width(spark, docs, n_salts):
+    """The salted shuffle fallback equals the broadcast path for ANY salt
+    width / hot-list size on hypothesis corpora (replication never
+    changes join output)."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        lm_perplexity,
+    )
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string")
+    bc = lm_perplexity(df)
+    import entity_resolution_pipeline_spark.operators.curation as cur
+    old_salt, old_hot = cur.SALT_N, cur.HOT_N
+    try:
+        cur.SALT_N, cur.HOT_N = n_salts, 2
+        sh = lm_perplexity(df, broadcast_limit=0)
+        a = sorted(map(tuple, bc.collect()))
+        b = sorted(map(tuple, sh.collect()))
+    finally:
+        cur.SALT_N, cur.HOT_N = old_salt, old_hot
+    release_persisted(bc)
+    release_persisted(sh)
+    assert a == b
