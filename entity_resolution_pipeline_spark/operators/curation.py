@@ -529,6 +529,22 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     longest document. Two shuffles total (shingle key, doc id) — the same
     exchanges the diagnostic already pays, plus the per-doc rebuild.
     """
+    base, sh_pos = _positional_spans(docs, id_col, text_col, k)
+    freq = sh_pos.groupBy("shingle").agg(F.countDistinct("id").alias("df"))
+    covered = (
+        sh_pos.join(freq.where(F.col("df") >= min_df), "shingle")
+        .select("id", F.explode(F.sequence("pos", "endp")).alias("widx"))
+        .distinct()
+    )
+    return _rebuild_without(base, covered, id_col)
+
+
+def _positional_spans(docs: DataFrame, id_col: str, text_col: str,
+                      k: int) -> tuple[DataFrame, DataFrame]:
+    """(base=(id, w), positional spans=(id, pos, endp, shingle)) — the
+    shared front half of exact-substring removal: original-case word
+    arrays plus one lowered k-shingle per word position (whole-doc
+    shingle for docs shorter than k)."""
     w = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     base = docs.select(F.col(id_col).alias("id"), w.alias("w"))
     n = F.size("w")
@@ -548,12 +564,14 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
         .select("id", F.explode(spans).alias("p"))
         .select("id", "p.pos", "p.endp", "p.shingle")
     )
-    freq = sh_pos.groupBy("shingle").agg(F.countDistinct("id").alias("df"))
-    covered = (
-        sh_pos.join(freq.where(F.col("df") >= min_df), "shingle")
-        .select("id", F.explode(F.sequence("pos", "endp")).alias("widx"))
-        .distinct()
-    )
+    return base, sh_pos
+
+
+def _rebuild_without(base: DataFrame, covered: DataFrame,
+                     id_col: str) -> DataFrame:
+    """Drop covered word indices and reassemble each doc in order — the
+    shared back half of exact-substring removal (one per-doc aggregation
+    whose sort is bounded by the longest document)."""
     words = base.select(
         "id", F.posexplode("w").alias("j", "word")
     ).select("id", (F.col("j") + 1).alias("widx"), "word")
@@ -576,6 +594,41 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+def corpus_span_shingles(corpus_docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = DUP_SPAN_K,
+                         min_df: int = 1) -> DataFrame:
+    """The static state for incremental span removal: the corpus's
+    distinct positional k-shingles (optionally only those occurring in
+    ≥ ``min_df`` corpus docs). At production scale this is one bucketed
+    table written per corpus snapshot."""
+    _, sh_pos = _positional_spans(corpus_docs, id_col, text_col, k)
+    if min_df <= 1:
+        return sh_pos.select("shingle").distinct()
+    return (
+        sh_pos.groupBy("shingle").agg(F.countDistinct("id").alias("df"))
+        .where(F.col("df") >= min_df).select("shingle")
+    )
+
+
+def strip_spans_vs_corpus(delta_docs: DataFrame, corpus_shingles: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          k: int = DUP_SPAN_K) -> DataFrame:
+    """Delta-vs-corpus exact-substring removal: strip from each DELTA
+    document every word covered by a k-shingle that exists in the CORPUS
+    shingle state — the ingest-time form of :func:`remove_duplicate_spans`
+    (a new page's boilerplate is whatever the corpus has already seen; a
+    pure function of (corpus state, delta row), so the streaming wrapper
+    is batching-invariant by construction). One semi-join on the shingle
+    key + the shared rebuild aggregation."""
+    base, sh_pos = _positional_spans(delta_docs, id_col, text_col, k)
+    covered = (
+        sh_pos.join(corpus_shingles.select("shingle"), "shingle", "left_semi")
+        .select("id", F.explode(F.sequence("pos", "endp")).alias("widx"))
+        .distinct()
+    )
+    return _rebuild_without(base, covered, id_col)
 
 
 TFIDF_TOP_K = 3

@@ -3399,6 +3399,67 @@ FROM base b LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_stream_strip_spans(spark, sf_dir):
+    """Ingest-time exact-substring removal as a foreachBatch stream
+    (streaming/incremental.py:stream_strip_spans): the corpus's distinct
+    positional 5-shingles (doc_id % 4 != 0) become static persisted
+    state; delta documents (doc_id % 4 == 0) stream in and each
+    micro-batch strips every word covered by a corpus-seen shingle —
+    boilerplate is cut at the cheapest point, before the page enters
+    the corpus store. Covered spans are a pure function of (corpus
+    state, delta row) → batching-invariant, so the oracle is the
+    one-shot delta-vs-corpus SQL."""
+    from ..streaming.incremental import _tmp_sink_dir, stream_strip_spans
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    delta = docs.where(F.col("doc_id") % 4 == 0)
+    d = _tmp_sink_dir("inc_spans_delta_")
+    delta.coalesce(1).write.mode("overwrite").parquet(d)
+    return stream_strip_spans(spark, d, corpus, timeout_s=240)
+
+
+ORACLE_STREAM_STRIP_SPANS = r"""
+WITH baseall AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id, i AS pos, least(i + 4, len(w)) AS endp,
+         lower(array_to_string(list_slice(w, i, i + 4), ' ')) AS shingle
+  FROM (SELECT doc_id, w,
+               CASE WHEN len(w) >= 5 THEN len(w) - 4
+                    WHEN len(w) > 0 THEN 1 ELSE 0 END AS npos
+        FROM baseall),
+       unnest(generate_series(1, npos)) AS g(i)
+), corp AS (
+  SELECT DISTINCT shingle FROM pos WHERE doc_id % 4 <> 0
+), base AS (
+  SELECT * FROM baseall WHERE doc_id % 4 = 0
+), covered AS (
+  SELECT DISTINCT p.doc_id, j AS widx
+  FROM pos p JOIN corp c USING (shingle),
+       unnest(generate_series(p.pos, p.endp)) AS u(j)
+  WHERE p.doc_id % 4 = 0
+), words AS (
+  SELECT doc_id, j AS widx, w[j] AS word
+  FROM base, unnest(generate_series(1, len(w))) AS g(j)
+), kept AS (
+  SELECT ws.* FROM words ws
+  ANTI JOIN covered c ON ws.doc_id = c.doc_id AND ws.widx = c.widx
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY widx) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.w) AS BIGINT) AS n_words,
+       CAST(len(b.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.text_clean, '') AS text_clean
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_curation_gate_extended(spark, sf_dir):
     """The extended curation gate: base per-document rules (lang /
     quality / repetition) AND the two corpus-level signals stacked the
@@ -3553,6 +3614,7 @@ QUERIES = {
     "stream_decontaminate": q_stream_decontaminate,
     "stream_ann": q_stream_ann,
     "stream_vocab": q_stream_vocab,
+    "stream_strip_spans": q_stream_strip_spans,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
     "corpus_curation": q_corpus_curation,
@@ -3730,5 +3792,6 @@ ORACLE_SQL = {
     "stream_decontaminate": ORACLE_DECONTAMINATE,
     "stream_ann": _oracle_ann_ivf(),
     "stream_vocab": ORACLE_STREAM_VOCAB,
+    "stream_strip_spans": ORACLE_STREAM_STRIP_SPANS,
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

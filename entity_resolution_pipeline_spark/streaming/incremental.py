@@ -568,6 +568,74 @@ def stream_delta_ann(
         .select("query_id", "neighbor_id", "cosine", "rank")
 
 
+# --- incremental span removal: delta docs stripped of corpus boilerplate -----
+
+
+def stream_strip_spans(
+    spark: SparkSession,
+    delta_path: str,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 1,
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Ingest-time exact-substring removal: newly landed documents are
+    stripped of every span the corpus has already seen (the
+    RefinedWeb-style boilerplate cut applied where it is cheapest — before
+    the new page enters the corpus store). The corpus's distinct
+    positional k-shingles are static persisted state; each micro-batch
+    pays its own positional fan-out plus ONE semi-join on the shingle
+    key. Covered spans are a pure function of (corpus state, delta row),
+    so the stream is batching-invariant and equal to the one-shot
+    :func:`..operators.curation.strip_spans_vs_corpus` (pytest-asserted).
+    Same checkpoint + ``batch=<id>`` overwrite exactly-once contract as
+    the other incremental streams.
+    """
+    from ..operators.curation import corpus_span_shingles, strip_spans_vs_corpus
+
+    corpus_sh = corpus_span_shingles(corpus_docs, id_col, text_col, k,
+                                     min_df) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    corpus_sh.count()
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(delta_path):
+        parent, fname = os.path.split(delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(delta_path)
+
+    if sink_dir is None:
+        sink_dir = _tmp_sink_dir("inc_spans_sink_")
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "stripped")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        strip_spans_vs_corpus(batch, corpus_sh, id_col, text_col, k) \
+            .write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, timeout_s, "span removal", persisted=(corpus_sh,))
+    if not os.path.isdir(out_dir):  # empty delta: no batch ever fired
+        return spark.createDataFrame(
+            [], f"{id_col} bigint, n_words bigint, n_removed bigint, "
+                "text_clean string")
+    return spark.read.option("basePath", out_dir).parquet(out_dir) \
+        .select(id_col, "n_words", "n_removed", "text_clean")
+
+
 # --- incremental corpus statistics: mergeable vocab counts -------------------
 
 

@@ -143,3 +143,39 @@ def test_stream_update_vocab_batching_invariant(spark, tmp_path):
         spark, many, max_files_per_trigger=1,
         sink_dir=str(tmp_path / "s2")).collect()}
     assert got2 == want
+
+
+def test_stream_strip_spans_batching_invariant(spark, tmp_path):
+    """Ingest-time span removal equals the one-shot delta-vs-corpus
+    operator for one batch AND file-at-a-time batches, and the stream
+    actually strips something (the near-dup variants share spans)."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        corpus_span_shingles, strip_spans_vs_corpus,
+    )
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_strip_spans,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_TINY, "documents.parquet"))
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    delta = docs.where(F.col("doc_id") % 4 == 0)
+    want = {(r["doc_id"], r["n_words"], r["n_removed"], r["text_clean"])
+            for r in strip_spans_vs_corpus(
+                delta, corpus_span_shingles(corpus)).collect()}
+    assert any(r[2] > 0 for r in want), "nothing stripped — fixture too easy"
+
+    one = str(tmp_path / "one")
+    delta.coalesce(1).write.parquet(one)
+    got1 = {(r["doc_id"], r["n_words"], r["n_removed"], r["text_clean"])
+            for r in stream_strip_spans(
+                spark, one, corpus,
+                sink_dir=str(tmp_path / "s1")).collect()}
+    assert got1 == want
+
+    many = str(tmp_path / "many")
+    delta.repartition(3).write.parquet(many)
+    got2 = {(r["doc_id"], r["n_words"], r["n_removed"], r["text_clean"])
+            for r in stream_strip_spans(
+                spark, many, corpus, max_files_per_trigger=1,
+                sink_dir=str(tmp_path / "s2")).collect()}
+    assert got2 == want
