@@ -1,0 +1,107 @@
+"""Plan-shape regression tests: pin the executed-plan properties PLANS.md
+claims (zero-shuffle gates, TakeOrdered instead of global sorts, the
+shuffled-hash self-join) so a Catalyst or code change that silently
+degrades a plan fails loudly. Shapes are checked on sf0.001 inputs —
+the claims are structural, not scale-dependent."""
+
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> list[str]:
+    return re.findall(r"Exchange (\w+)", plan)
+
+
+def test_curation_gate_is_zero_shuffle(spark):
+    """The base gate is ONE projection: no exchange of any kind."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        curation_flags,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(curation_flags(docs))
+    assert _exchanges(plan) == [], plan
+
+
+def test_token_stats_are_zero_shuffle(spark):
+    """All three token signals (ws count, BPE-ish count, entropy fold)
+    are per-row expressions — no exchange."""
+    from entity_resolution_pipeline_spark.functions.textstats import (
+        bpe_ish_token_count_col, token_count_col, token_entropy_col,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("a"),
+        bpe_ish_token_count_col(F.col("text")).alias("b"),
+        token_entropy_col(F.col("text")).alias("c"),
+    )
+    assert _exchanges(_plan(df)) == []
+
+
+def test_chunker_is_map_side(spark):
+    """The overlap chunker's fan-out is posexplode over a per-row
+    transform — no exchange."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert _exchanges(_plan(chunk_documents(docs))) == []
+
+
+def test_build_vocab_uses_take_ordered_not_global_sort(spark):
+    """Top-N vocabulary is TakeOrderedAndProject (distributed partial
+    top-N), never a global Sort of the full wordcount."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        build_vocab,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(build_vocab(docs))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_candidate_pairs_self_join_is_shuffled_hash(spark):
+    """The blocks self-join must be a ShuffledHashJoin: a broadcast here
+    is the measured scaling cliff (serial multi-GB HashedRelation), and
+    sort-merge pays a per-partition sort the bounded hash build avoids."""
+    from entity_resolution_pipeline_spark.operators.blocking import (
+        blocking_table, salted_blocking_table,
+    )
+    from entity_resolution_pipeline_spark.operators.pairs import (
+        candidate_pairs,
+    )
+    from entity_resolution_pipeline_spark.sources.pages import (
+        pages_from_documents,
+    )
+    from entity_resolution_pipeline_spark.plans.pipeline import stage_extract
+
+    pages = pages_from_documents(spark, SF, variants=2).drop("true_cluster")
+    extracted = stage_extract(pages)
+    blocks = blocking_table(extracted.select("url", "text_norm"), n_bands=4)
+    salted = salted_blocking_table(blocks)
+    plan = _plan(candidate_pairs(salted, top_n=20,
+                                 url_dim=extracted.select("url")))
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_ivf_assignment_is_narrow(spark):
+    """IVF cell assignment is a single narrow projection against literal
+    centroids — the corpus-touching side has no exchange (the tiny
+    centroid draw job may shuffle; the assignment plan must not)."""
+    from entity_resolution_pipeline_spark.operators.ann import (
+        ivf_assign_cells,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _, assigned = ivf_assign_cells(emb, n_cells=4)
+    assert _exchanges(_plan(assigned)) == []
