@@ -47,6 +47,7 @@ BATTERY = [
     "training_corpus", "vocab_topk",
     # round-4 rows
     "remove_dup_spans", "curation_gate_extended", "ann_ivf_pq",
+    "stream_strip_spans",
 ]
 
 
