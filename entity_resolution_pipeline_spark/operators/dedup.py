@@ -169,6 +169,43 @@ def ngram_jaccard_pairs(docs: DataFrame | None = None, pairs: DataFrame = None,
     )
 
 
+def ngram_containment_pairs(docs: DataFrame | None = None,
+                            pairs: DataFrame = None,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            k: int = 3,
+                            shingles: DataFrame | None = None) -> DataFrame:
+    """One-sided shingle CONTAINMENT for candidate pairs:
+    (id_a, id_b, jaccard, containment_a, containment_b) with
+    containment_x = |A∩B| / |X| — the partial-copy signal real curation
+    pipelines add to Jaccard: a short document fully embedded in a long
+    one has low Jaccard (the union is large) but containment ≈ 1 on the
+    short side. Same two co-locating equi-joins + pure array arithmetic
+    as :func:`ngram_jaccard_pairs`; pass the shared persisted
+    ``shingles`` table so the corpus is shingled once end-to-end.
+    """
+    sh = shingles if shingles is not None else \
+        shingle_table(docs, id_col, text_col, k)
+    j = (
+        pairs.join(sh.select(F.col("id").alias("id_a"),
+                             F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"),
+                        F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    na = F.size("sh_a").cast("double")
+    nb = F.size("sh_b").cast("double")
+    return j.select(
+        "id_a", "id_b",
+        F.round(F.when(union > 0, inter / union)
+                .otherwise(F.lit(0.0)), 6).alias("jaccard"),
+        F.round(F.when(na > 0, inter / na)
+                .otherwise(F.lit(0.0)), 6).alias("containment_a"),
+        F.round(F.when(nb > 0, inter / nb)
+                .otherwise(F.lit(0.0)), 6).alias("containment_b"),
+    )
+
+
 def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 3,
                             n_bands: int = 8, threshold: float = 0.7,

@@ -681,6 +681,47 @@ JOIN s sb ON p.id_b = sb.doc_id
 """
 
 
+def q_dedup_containment(spark, sf_dir):
+    """One-sided shingle containment (|A∩B|/|A| and /|B|) alongside
+    Jaccard for every LSH candidate pair — the partial-copy signal: a
+    short doc embedded in a long one scores low Jaccard (big union) but
+    containment ≈ 1 on the short side, which is how curation pipelines
+    catch quote-farms and wrapper pages. Shares the persisted shingle
+    table with candidate generation. Library:
+    operators/dedup.py:ngram_containment_pairs."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", k=3).persist()
+    pairs = lsh_candidate_pairs(n_bands=4, stop_threshold=LSH_STOP,
+                                shingles=sh)
+    out = ngram_containment_pairs(pairs=pairs, k=3, shingles=sh)
+    out._erps_persisted = [sh]
+    return out
+
+
+def _oracle_dedup_containment(n_bands: int = 4) -> str:
+    pair_sql = _oracle_lsh_pairs(n_bands)
+    return f"""
+WITH pairs AS ({pair_sql}),
+t AS ({_SHINGLE_SQL}), s AS ({_SHINGLE3})
+SELECT p.id_a, p.id_b,
+       round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+             THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sh, sb.sh)))
+             ELSE 0.0 END, 6) AS jaccard,
+       round(CASE WHEN len(sa.sh) > 0
+             THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(sa.sh) ELSE 0.0 END, 6) AS containment_a,
+       round(CASE WHEN len(sb.sh) > 0
+             THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(sb.sh) ELSE 0.0 END, 6) AS containment_b
+FROM pairs p
+JOIN s sa ON p.id_a = sa.doc_id
+JOIN s sb ON p.id_b = sb.doc_id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """Native 32-bit SimHash signature per document."""
     docs = _t_wide(spark, sf_dir, "documents")
@@ -3637,6 +3678,7 @@ QUERIES = {
     "dedup_minhash_sigs": q_dedup_minhash_sigs,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_simhash": q_dedup_simhash,
     "dedup_canonical": q_dedup_canonical,
     # embeddings
@@ -3731,6 +3773,7 @@ ORACLE_SQL = {
     "dedup_minhash_sigs": _oracle_minhash_sigs(4),
     "dedup_lsh_pairs": _oracle_lsh_pairs(4),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(4),
+    "dedup_containment": _oracle_dedup_containment(4),
     "dedup_simhash": _oracle_simhash(32),
     "dedup_canonical": _oracle_dedup_canonical(4, 0.7),
     "corpus_curation": _oracle_corpus_curation(),

@@ -242,3 +242,23 @@ def test_ivf_pq_refine_beats_both_halves(spark):
     b = sorted(map(tuple, ivf_pq_topk(emb, q, k=5, n_cells=8, n_probe=2,
                                       m=4, k_cent=16).collect()))
     assert a == b and a
+
+
+def test_containment_catches_embedded_copy(spark):
+    """A short doc fully embedded in a long one: Jaccard is small (big
+    union) but containment on the short side is 1.0 — the partial-copy
+    signal. Scalar-checked on a constructed pair."""
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs, shingle_table,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, short), (2, long_)],
+                                 "doc_id long, text string")
+    sh = shingle_table(docs, "doc_id", "text", k=3)
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = ngram_containment_pairs(pairs=pairs, k=3, shingles=sh).collect()[0]
+    assert r["containment_a"] == 1.0
+    assert r["jaccard"] < 0.2
+    assert r["containment_b"] == r["jaccard"]  # |B| == |A∪B| here
