@@ -51,6 +51,48 @@ def shingles_col(text: Column, k: int = 3) -> Column:
                  _with_toks)
 
 
+def winnow_fingerprints_col(text: Column, k: int = 4,
+                            w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every word k-shingle to 32 bits, slide a
+    window of ``w`` consecutive hashes, keep each window's MINIMUM, and
+    return the sorted distinct selections — position-robust fingerprints
+    with a guaranteed match window (any shared run of k+w-1 words shares
+    at least one fingerprint), at ~1/w the density of full shingle sets.
+
+    Zero-shuffle per-row expression (bound token + hash arrays, no CSE
+    re-evaluation); the 32-bit hash is the md5-prefix integer used by
+    the stratified sampler, so a DuckDB oracle reproduces it exactly.
+    Docs shorter than ``k`` words degrade to one whole-doc fingerprint;
+    empty docs yield an empty array."""
+
+    def _with_hashes(hs: Column) -> Column:
+        npos = F.size(hs)
+        nw = F.greatest(npos - (w - 1), F.lit(1))
+        wins = F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        )
+        return F.array_sort(F.array_distinct(wins))
+
+    def _with_toks(toks: Column) -> Column:
+        n = F.size(toks)
+        npos = F.when(n >= k, n - (k - 1)).otherwise(
+            F.when(n > 0, F.lit(1)).otherwise(F.lit(0)))
+        hashes = F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8),
+                16, 10).cast("long"),
+        )
+        return F.when(npos > 0, _bind(hashes, _with_hashes))                 .otherwise(F.array().cast("array<bigint>"))
+
+    return _bind(F.filter(F.split(F.lower(text), r"\s+"),
+                          lambda t: t != ""),
+                 _with_toks)
+
+
 def minhash_sig_col(items: Column, n_bands: int) -> Column:
     """All ``n_bands`` MinHash band minima in ONE pass: array<string> of
     8-hex-char values (lexicographic min == numeric min on uniform hex).

@@ -473,6 +473,60 @@ FROM f
 """
 
 
+def q_docs_winnow(spark, sf_dir):
+    """Winnowing fingerprints (the MOSS algorithm): 32-bit hashes of
+    word 4-shingles, minimum per sliding window of 4 hashes, sorted
+    distinct selections — position-robust fingerprints with a guaranteed
+    match window (any shared run of 7 words shares a fingerprint) at
+    ~1/4 the density of full shingle sets, which is what plagiarism /
+    near-dup indexes store at scale instead of every shingle. Pure
+    per-row expression; the oracle reproduces the hash (md5-prefix
+    integer) and the window minima exactly. Library:
+    functions/hashing.py:winnow_fingerprints_col."""
+    from ..functions.hashing import winnow_fingerprints_col
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    fp = winnow_fingerprints_col(F.col("text"), k=4, w=4)
+    return docs.select(
+        "doc_id", fp.alias("fingerprints"),
+        F.size(fp).cast("long").alias("n_fingerprints"),
+    )
+
+
+ORACLE_DOCS_WINNOW = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 4 THEN
+                list_transform(generate_series(1, len(toks) - 3),
+                  i -> CAST(('0x' || substring(md5(
+                         toks[i] || ' ' || toks[i+1] || ' '
+                         || toks[i+2] || ' ' || toks[i+3]), 1, 8))
+                       AS BIGINT))
+              WHEN len(toks) > 0 THEN
+                [CAST(('0x' || substring(md5(
+                   array_to_string(toks, ' ')), 1, 8)) AS BIGINT)]
+              ELSE CAST([] AS BIGINT[]) END AS h
+  FROM t
+), fp AS (
+  SELECT doc_id,
+         CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+              ELSE list_sort(list_distinct(list_transform(
+                     generate_series(1, greatest(len(h) - 3, 1)),
+                     j -> list_min(list_slice(h, j, j + 3)))))
+         END AS fingerprints
+  FROM hs
+)
+SELECT doc_id, fingerprints,
+       CAST(len(fingerprints) AS BIGINT) AS n_fingerprints
+FROM fp
+"""
+
+
 def q_docs_lang_id(spark, sf_dir):
     """Stopword-heuristic language ID (training-data text analysis)."""
     docs = _t(spark, sf_dir, "documents")
@@ -3663,6 +3717,7 @@ QUERIES = {
     "remove_dup_spans": q_remove_dup_spans,
     "curation_gate_extended": q_curation_gate_extended,
     "docs_token_stats": q_docs_token_stats,
+    "docs_winnow": q_docs_winnow,
     "docs_chunk": q_docs_chunk,
     "pack_sequences": q_pack_sequences,
     "corpus_length_stats": q_corpus_length_stats,
@@ -3814,6 +3869,7 @@ ORACLE_SQL = {
     "remove_dup_spans": ORACLE_REMOVE_DUP_SPANS,
     "curation_gate_extended": _oracle_curation_gate_extended(),
     "docs_token_stats": ORACLE_DOCS_TOKEN_STATS,
+    "docs_winnow": ORACLE_DOCS_WINNOW,
     "docs_chunk": ORACLE_DOCS_CHUNK,
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "media_ppm_decode": ORACLE_MEDIA_PPM_DECODE,

@@ -347,3 +347,56 @@ def test_token_entropy_matches_python(spark):
         want = math.log(n) - sum(c * math.log(c)
                                  for c in counts.values()) / n
         assert got[i] == pytest.approx(want, abs=1e-6), (i, got[i], want)
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing guarantees: matches the scalar reference, any shared
+    run of k+w-1 = 7 words produces a shared fingerprint, and density is
+    well below the full shingle count."""
+    import hashlib
+
+    from entity_resolution_pipeline_spark.functions.hashing import (
+        winnow_fingerprints_col,
+    )
+
+    K = W = 4
+
+    def py_winnow(text):
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            return []
+        if len(toks) < K:
+            hs = [int(hashlib.md5(" ".join(toks).encode())
+                      .hexdigest()[:8], 16)]
+        else:
+            hs = [int(hashlib.md5(" ".join(toks[i:i + K]).encode())
+                      .hexdigest()[:8], 16)
+                  for i in range(len(toks) - K + 1)]
+        nw = max(len(hs) - W + 1, 1)
+        return sorted({min(hs[j:j + W]) for j in range(nw)})
+
+    shared = "the quick brown fox jumps over lazy"          # 7 words
+    texts = {
+        1: "aa bb cc " + shared + " dd ee ff gg hh ii jj kk",
+        2: "zz yy xx ww vv " + shared + " uu tt ss rr qq",
+        3: "completely different words with no common runs here at all",
+        4: "tiny doc",
+        5: "",
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (list(r["fingerprints"]), r["n_fingerprints"])
+           for r in df.select(
+               "doc_id",
+               winnow_fingerprints_col(F.col("text")).alias("fingerprints"),
+               F.size(winnow_fingerprints_col(F.col("text"))).cast("long")
+               .alias("n_fingerprints")).collect()}
+    for i, t in texts.items():
+        want = py_winnow(t)
+        assert got[i] == (want, len(want)), i
+    # guaranteed match window: docs 1 and 2 share the 7-word run
+    assert set(got[1][0]) & set(got[2][0])
+    assert not (set(got[3][0]) & set(got[1][0]))
+    # density: fingerprints ≤ shingles (winnowing thins the set)
+    n_shingles_1 = len(texts[1].split()) - K + 1
+    assert got[1][1] < n_shingles_1
