@@ -206,6 +206,40 @@ def ngram_containment_pairs(docs: DataFrame | None = None,
     )
 
 
+def winnow_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 4, w: int = 4,
+                           stop_threshold: int | None = None) -> DataFrame:
+    """Near-dup candidates from a winnowing index: ids sharing at least
+    one winnow fingerprint (the MOSS index shape — documents sharing any
+    k+w-1-word run are guaranteed to collide). Same scale discipline as
+    the LSH band join: explode to (id, fingerprint), drop degenerate
+    fingerprint buckets above ``stop_threshold`` (they carry no
+    similarity signal and would fan out quadratically), bucketed
+    self-join with ``id_a < id_b``, distinct — never a cross join, and
+    the index is ~1/w the size of a full shingle index.
+    """
+    from ..functions.hashing import winnow_fingerprints_col
+
+    fps = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints_col(F.col(text_col), k, w))
+        .alias("fp"),
+    )
+    if stop_threshold is not None:
+        sizes = fps.groupBy("fp").agg(F.count("*").alias("n"))
+        fps = fps.join(
+            F.broadcast(sizes.where(F.col("n") > stop_threshold)),
+            "fp", "left_anti")
+    a = fps.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = fps.select(F.col("fp"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 3,
                             n_bands: int = 8, threshold: float = 0.7,

@@ -527,6 +527,34 @@ FROM fp
 """
 
 
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """Near-dup candidates from the winnowing index: ids sharing a
+    winnow fingerprint (guaranteed collision for any shared 7-word run),
+    degenerate buckets dropped, bucketed self-join — the MOSS index at
+    ~1/4 full-shingle density. Library:
+    operators/dedup.py:winnow_candidate_pairs."""
+    from ..operators.dedup import winnow_candidate_pairs
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return winnow_candidate_pairs(docs, stop_threshold=LSH_STOP)
+
+
+def _oracle_dedup_winnow_pairs() -> str:
+    return f"""
+WITH wf AS ({ORACLE_DOCS_WINNOW}),
+fps AS (
+  SELECT doc_id AS id, unnest(fingerprints) AS fp FROM wf
+), keep AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {LSH_STOP}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM fps a
+JOIN keep k ON a.fp = k.fp
+JOIN fps b ON a.fp = b.fp
+WHERE a.id < b.id
+"""
+
+
 def q_docs_lang_id(spark, sf_dir):
     """Stopword-heuristic language ID (training-data text analysis)."""
     docs = _t(spark, sf_dir, "documents")
@@ -3734,6 +3762,7 @@ QUERIES = {
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
+    "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "dedup_simhash": q_dedup_simhash,
     "dedup_canonical": q_dedup_canonical,
     # embeddings
@@ -3829,6 +3858,7 @@ ORACLE_SQL = {
     "dedup_lsh_pairs": _oracle_lsh_pairs(4),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(4),
     "dedup_containment": _oracle_dedup_containment(4),
+    "dedup_winnow_pairs": _oracle_dedup_winnow_pairs(),
     "dedup_simhash": _oracle_simhash(32),
     "dedup_canonical": _oracle_dedup_canonical(4, 0.7),
     "corpus_curation": _oracle_corpus_curation(),

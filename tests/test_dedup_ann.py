@@ -262,3 +262,25 @@ def test_containment_catches_embedded_copy(spark):
     assert r["containment_a"] == 1.0
     assert r["jaccard"] < 0.2
     assert r["containment_b"] == r["jaccard"]  # |B| == |A∪B| here
+
+
+def test_winnow_pairs_recall_vs_lsh(spark, corpus):
+    """The winnowing index must recover the near-dup pairs the LSH index
+    finds at high Jaccard (both guarantee collisions for heavily shared
+    content), and never produce a pair with zero shared fingerprints."""
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs, lsh_candidate_pairs, shingle_table,
+        winnow_candidate_pairs,
+    )
+
+    sh = shingle_table(corpus, "doc_id", "text", k=3)
+    lsh = lsh_candidate_pairs(corpus, n_bands=8)
+    strong = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(pairs=lsh, shingles=sh).collect()
+        if r["jaccard"] >= 0.8
+    }
+    wp = {(r["id_a"], r["id_b"])
+          for r in winnow_candidate_pairs(corpus).collect()}
+    assert strong, "fixture has no strong near-dups"
+    assert strong <= wp, strong - wp
