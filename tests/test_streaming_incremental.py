@@ -179,3 +179,35 @@ def test_stream_strip_spans_batching_invariant(spark, tmp_path):
                 spark, many, corpus, max_files_per_trigger=1,
                 sink_dir=str(tmp_path / "s2")).collect()}
     assert got2 == want
+
+
+def test_stream_update_vocab_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch id, crash-after-write) must
+    overwrite its own snapshot, not double-count: re-running the stream
+    over the SAME checkpoint+sink after completion changes nothing, and
+    simulating a replay by draining a fresh stream against the
+    already-populated sink dir leaves the final counts equal to the
+    batch wordcount."""
+    from entity_resolution_pipeline_spark.operators.curation import _tokens
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_update_vocab,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_TINY, "documents.parquet")) \
+        .limit(80)
+    want = {(r["word"], r["n"]) for r in
+            docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+            .groupBy("word").agg(F.count("*").cast("long").alias("n"))
+            .collect()}
+
+    delta = str(tmp_path / "delta")
+    docs.repartition(3).write.parquet(delta)
+    sink = str(tmp_path / "sink")
+    got1 = {(r["word"], r["n"]) for r in stream_update_vocab(
+        spark, delta, max_files_per_trigger=1, sink_dir=sink).collect()}
+    assert got1 == want
+    # second drain over the same checkpoint: the source has no new files,
+    # no batch fires, the snapshot chain is untouched
+    got2 = {(r["word"], r["n"]) for r in stream_update_vocab(
+        spark, delta, max_files_per_trigger=1, sink_dir=sink).collect()}
+    assert got2 == want
