@@ -376,3 +376,28 @@ def test_curation_flags_extended(spark):
         assert r["keep"] == (base[i] and spans[i] and ppl[i])
     for flag in ("dup_span_ok", "perplexity_ok"):
         assert {r[flag] for r in ext.values()} == {True, False}, flag
+
+
+def test_training_corpus_extended_gate_is_stricter(spark):
+    """extended_gate=True admits a subset of the base pipeline's docs
+    (the stacked caps only remove), and its per-source budgets equal the
+    manual composition with the extended gate."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        training_corpus,
+    )
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+
+    docs = _docs(spark)
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    base_df = training_corpus(docs, eval_docs)
+    ext_df = training_corpus(docs, eval_docs, extended_gate=True)
+    base = {r["source"]: r["n_docs"] for r in base_df.collect()}
+    ext = {r["source"]: r["n_docs"] for r in ext_df.collect()}
+    release_persisted(base_df)
+    release_persisted(ext_df)
+    assert ext, "extended gate dropped everything"
+    for src, n in ext.items():
+        assert n <= base.get(src, 0), (src, n, base.get(src))
+    assert sum(ext.values()) < sum(base.values())
