@@ -67,7 +67,13 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    spark = get_spark(cores=8, shuffle_partitions=8)
+    # CHECK_CORES / CHECK_SHUFFLE override the session shape so the same
+    # battery can be re-checked under a different parallelism — results
+    # must be partition-invariant (see CORRECTNESS_LOCAL_r04_alt.json)
+    import os
+    spark = get_spark(cores=int(os.environ.get("CHECK_CORES", "8")),
+                      shuffle_partitions=int(os.environ.get("CHECK_SHUFFLE",
+                                                            "8")))
     failures = 0
 
     def rec(name, *, rows=False, schema=False, values=False,
