@@ -221,6 +221,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         force_full(df)
         queries[name] = round(time.perf_counter() - t0, 3)
+        # rows that persist internals forward them on _erps_persisted;
+        # release per row so caches never bleed into later timings
+        release_persisted(df)
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({

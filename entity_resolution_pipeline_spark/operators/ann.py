@@ -68,11 +68,17 @@ def ivf_assign_cells(vectors: DataFrame, n_cells: int = 16,
         F.col(id_col), F.col(vec_col),
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))).alias("_h"),
     ).orderBy("_h").limit(n_cells)
-    centroids = ranked.select(
+    lazy_centroids = ranked.select(
         F.row_number().over(Window.orderBy("_h")).alias("cell_id"),
         F.col(vec_col).alias("centroid"),
     )
-    cent_rows = centroids.collect()  # C rows: tiny, sanctioned driver state
+    cent_rows = lazy_centroids.collect()  # C rows: tiny, sanctioned driver state
+    # return the COLLECTED rows as a local relation, not the lazy plan:
+    # every downstream consumer (probe selection, residual tables, each
+    # stream micro-batch) would otherwise re-run the corpus TakeOrdered
+    # draw on every use
+    centroids = vectors.sparkSession.createDataFrame(
+        cent_rows, schema=lazy_centroids.schema)
     cent_lit = F.array(*[
         F.struct(
             F.lit(int(r["cell_id"])).alias("cell_id"),
@@ -444,6 +450,15 @@ def pq_train_codebooks_kmeans(vectors: DataFrame, m: int = 4,
         F.transform(F.col(vec_col), lambda x: x.cast("double"))
     unit = vectors.select(proj.alias("e")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        books = _lloyd_iterations(unit, books, m, k_cent, sub_dim, iters)
+    finally:
+        unit.unpersist()
+    return books
+
+
+def _lloyd_iterations(unit: DataFrame, books, m: int, k_cent: int,
+                      sub_dim: int, iters: int):
     for _it in range(iters):
         per_sub = []
         for mi in range(1, m + 1):
@@ -472,5 +487,4 @@ def pq_train_codebooks_kmeans(vectors: DataFrame, m: int = 4,
         for r in means:
             new_books[r["m"] - 1][r["cid"] - 1][r["pos"]] = float(r["mu"])
         books = new_books
-    unit.unpersist()
     return books

@@ -192,6 +192,11 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
     )
     extra_persisted = list(getattr(gate, "_erps_persisted", None) or [])
     if remove_spans:
+        # the kept lineage (3-way join over dedup + decontamination +
+        # gate) feeds the stripper's base/positions/rebuild AND the
+        # rejoin below — persist it or each consumer re-runs the pipeline
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        extra_persisted.append(kept)
         stripped = remove_duplicate_spans(kept, id_col, text_col)
         kept = (
             kept.select(id_col, source_col)

@@ -156,6 +156,20 @@ def ngram_jaccard_pairs(docs: DataFrame | None = None, pairs: DataFrame = None,
     pure array arithmetic (no Python). Pass the same persisted ``shingles``
     table used for candidate generation so shingling runs once end-to-end.
     """
+    j, inter, union = _pair_shingle_frame(docs, pairs, id_col, text_col,
+                                          k, shingles)
+    return j.select(
+        "id_a", "id_b",
+        F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6).alias("jaccard"),
+    )
+
+
+def _pair_shingle_frame(docs, pairs, id_col, text_col, k, shingles):
+    """Shared scaffold of the pair verifiers: co-locate both shingle
+    arrays on the pair row (two equi-joins against ONE shingle table) and
+    hand back the frame plus the intersection/union size expressions —
+    Jaccard and containment must stay on the same join contract and
+    rounding policy or batch/oracle parity diverges."""
     sh = shingles if shingles is not None else shingle_table(docs, id_col, text_col, k)
     j = (
         pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -163,10 +177,7 @@ def ngram_jaccard_pairs(docs: DataFrame | None = None, pairs: DataFrame = None,
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return j.select(
-        "id_a", "id_b",
-        F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6).alias("jaccard"),
-    )
+    return j, inter, union
 
 
 def ngram_containment_pairs(docs: DataFrame | None = None,
@@ -183,16 +194,8 @@ def ngram_containment_pairs(docs: DataFrame | None = None,
     as :func:`ngram_jaccard_pairs`; pass the shared persisted
     ``shingles`` table so the corpus is shingled once end-to-end.
     """
-    sh = shingles if shingles is not None else \
-        shingle_table(docs, id_col, text_col, k)
-    j = (
-        pairs.join(sh.select(F.col("id").alias("id_a"),
-                             F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"),
-                        F.col("sh").alias("sh_b")), "id_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    j, inter, union = _pair_shingle_frame(docs, pairs, id_col, text_col,
+                                          k, shingles)
     na = F.size("sh_a").cast("double")
     nb = F.size("sh_b").cast("double")
     return j.select(
@@ -524,8 +527,10 @@ def contamination_flags(train: DataFrame, eval_docs: DataFrame,
         .groupBy("id")
         .agg(F.count("*").alias("n_overlap"))
     )
+    # join on the INPUT id column's own type — a hardcoded long cast
+    # would silently null out (and un-flag) every row for string ids
     return (
-        train.select(F.col(id_col).cast("long").alias("id"))
+        train.select(F.col(id_col).alias("id"))
         .join(hits, "id", "left")
         .select(
             F.col("id").alias(id_col),

@@ -42,14 +42,10 @@ EVENTS_SCHEMA = StructType([
 
 
 def _tmp_ckpt_dir(prefix: str) -> str:
-    """Per-run checkpoint dir, removed at interpreter exit (the memory-sink
-    drains read nothing back from it, but repeated bench runs must not
-    accumulate checkpoint litter)."""
-    import atexit
-    import shutil
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+    """Per-run checkpoint dir, removed at interpreter exit — one shared
+    allocator with the incremental streams (tmpfs placement + atexit)."""
+    from .incremental import _tmp_sink_dir
+    return _tmp_sink_dir(prefix)
 
 def _events_stream(spark: SparkSession, events_path: str):
     """Streaming parquet source over a directory OR a single file.

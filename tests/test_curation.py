@@ -401,3 +401,32 @@ def test_training_corpus_extended_gate_is_stricter(spark):
     for src, n in ext.items():
         assert n <= base.get(src, 0), (src, n, base.get(src))
     assert sum(ext.values()) < sum(base.values())
+
+
+def test_training_corpus_string_ids(spark):
+    """String doc ids flow through the whole composition (dedup ∩
+    decontamination ∩ gate → chunk → budget) without being nulled out by
+    a hardcoded cast — the round-4 review found contamination_flags
+    dropping every row for non-numeric ids."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        training_corpus,
+    )
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        contamination_flags,
+    )
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+
+    docs = _docs(spark).withColumn(
+        "doc_id", F.concat(F.lit("doc-"), F.col("doc_id").cast("string")))
+    eval_docs = docs.where(F.substring("doc_id", 5, 10).cast("long") % 97 == 0)
+
+    flags = contamination_flags(docs, eval_docs).collect()
+    assert len(flags) == docs.count()
+    assert any(r["contaminated"] for r in flags)
+
+    out_df = training_corpus(docs, eval_docs)
+    out = out_df.collect()
+    release_persisted(out_df)
+    assert out and sum(r["n_docs"] for r in out) > 0

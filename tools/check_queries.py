@@ -23,6 +23,7 @@ import duckdb
 sys.path.insert(0, ".")
 
 from entity_resolution_pipeline_spark.plans.benchqueries import ORACLE_SQL, QUERIES  # noqa: E402
+from entity_resolution_pipeline_spark.operators.scoring import release_persisted  # noqa: E402
 from entity_resolution_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -60,6 +61,9 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check_queries.py [--json OUT.json] [names...]")
+            return 2
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
     names = args or list(QUERIES)
@@ -90,14 +94,17 @@ def main() -> int:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            release_persisted(sdf)  # don't let row caches span the session
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             rec(name, err=f"spark error: {str(e)[:300]}")
             failures += 1
             continue
         if name not in ORACLE_SQL:
+            # rows-only check: never record a match flag as True — a
+            # reader must not mistake an unchecked query for a verified one
             print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
-            rec(name, rows=len(srows) >= 0, spark_rows=len(srows),
+            rec(name, spark_rows=len(srows),
                 err="no oracle (rows-only check)")
             continue
         try:
