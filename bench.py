@@ -47,7 +47,7 @@ BATTERY = [
     "training_corpus", "vocab_topk",
     # round-4 rows
     "remove_dup_spans", "curation_gate_extended", "ann_ivf_pq",
-    "stream_strip_spans",
+    "stream_strip_spans", "bm25_topk", "hybrid_rrf",
 ]
 
 

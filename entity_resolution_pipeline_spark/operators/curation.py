@@ -686,3 +686,113 @@ def tfidf_keywords(docs: DataFrame, id_col: str = "doc_id",
     )
     out._erps_persisted = [df_t]
     return out
+
+
+def sample_corpus_temperature(docs: DataFrame, alpha: float = 0.5,
+                              budget_frac: float = 0.5,
+                              id_col: str = "doc_id",
+                              source_col: str = "source") -> DataFrame:
+    """Temperature-weighted corpus mixing: (doc_id, source, rate, kept).
+
+    LLM training mixtures up-weight small high-quality sources and
+    down-weight the web firehose by sampling source s at a rate
+    proportional to n_s^alpha (alpha<1 flattens the mixture — the
+    GPT-3 / multilingual-LM "temperature" convention). Per-source rates:
+
+        w_s    = n_s^alpha / Σ_s n_s^alpha
+        rate_s = min(1, budget_frac · N · w_s / n_s)
+
+    so the expected kept size is ≈ budget_frac · N with the source
+    shares re-balanced toward exponent alpha. The keep decision is a
+    deterministic md5 bucket (reproducible across engines, runs, and
+    partitionings — a rand() sample would not survive re-execution of a
+    lost partition, an md5 bucket does): kept ⇔ bucket < round(rate·2^32).
+
+    Scale shape: one map-side-combined per-source count (bounded by the
+    number of sources), a one-row normalizer, and a broadcast rate join
+    back to the corpus — the corpus itself is touched exactly once,
+    map-side. Σ n_s^alpha folds over the sources in SOURCE ORDER so the
+    double sum is addition-order-reproducible. alpha=0.5 rides sqrt
+    (IEEE-correctly-rounded, so bit-identical in any engine — the
+    oracle-pinned configuration); other alphas use pow, where
+    cross-engine parity is typically-but-not-guaranteed 1-ulp safe.
+    """
+    counts = docs.groupBy(F.col(source_col).alias("source")) \
+        .agg(F.count("*").alias("n_s"))
+    wexpr = F.sqrt(F.col("n_s")) if alpha == 0.5 \
+        else F.pow(F.col("n_s"), F.lit(alpha))
+    weighted = counts.select("source", "n_s", wexpr.alias("w"))
+    norm = weighted.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0), lambda acc, x: acc + x["w"],
+        ).alias("s_norm"),
+        F.sum("n_s").alias("n_total"),
+    )
+    rates = weighted.crossJoin(F.broadcast(norm)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac) * F.col("n_total").cast("double")
+                * F.col("w") / F.col("s_norm") / F.col("n_s"),
+            ), 6,
+        ).alias("rate"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))),
+            1, 8),
+        16, 10,
+    ).cast("long")
+    thr = F.round(F.col("rate") * F.lit(4294967296.0), 0).cast("long")
+    return (
+        docs.select(id_col, F.col(source_col).alias("source"),
+                    bucket.alias("_b"))
+        .join(F.broadcast(rates), "source")
+        .select(id_col, "source", "rate", (F.col("_b") < thr).alias("kept"))
+    )
+
+
+def split_corpus(docs: DataFrame, id_col: str = "doc_id",
+                 train_per_10k: int = 9000, val_per_10k: int = 500,
+                 n_shards: int = 8) -> DataFrame:
+    """Deterministic train/val/test split + shard-shuffle:
+    (doc_id, bucket, split, shard, pos).
+
+    The last pre-training step: every document lands in a split by md5
+    bucket (0..9999 — train below ``train_per_10k``, then ``val_per_10k``
+    buckets of validation, test above), a shard by an independent hash,
+    and a POSITION inside its (split, shard) from a third hash — the
+    "global shuffle" that decorrelates batch composition without any
+    global sort: the position window partitions by (split, shard), so
+    the sort is per-shard-sized and embarrassingly parallel. All three
+    assignments are pure functions of the id — adding documents never
+    reassigns existing ones (splits stay stable release-over-release,
+    the property eval-set discipline needs), and re-running on any
+    partitioning emits identical rows.
+    """
+    def _h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col(id_col).cast("string"))),
+                1, 8),
+            16, 10,
+        ).cast("long")
+
+    bucket = _h("split:") % 10000
+    d = docs.select(
+        id_col, bucket.alias("bucket"),
+        (_h("shard:") % n_shards).cast("int").alias("shard"),
+        _h("pos:").alias("_p"),
+    ).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_per_10k, F.lit("train"))
+        .when(F.col("bucket") < train_per_10k + val_per_10k, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    w = Window.partitionBy("split", "shard").orderBy("_p", id_col)
+    return d.select(
+        id_col, "bucket", "split", "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )

@@ -40,6 +40,7 @@ from ..operators.curation import (
     build_vocab, chunk_documents, corpus_length_stats, curation_flags,
     domain_stats, pack_sequences, training_corpus,
 )
+from ..operators.curation import _tokens as _curation_tokens
 from ..operators.dedup import (
     fuzzy_dedup, lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
     shingle_table, simhash_table,
@@ -3718,6 +3719,230 @@ FROM documents
 """
 
 
+BM25_QSTRIDE, BM25_QTERMS, BM25_K = 83, 8, 10
+HYB_LIST_K, HYB_OUT_K, HYB_RRF_C = 20, 10, 60
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval: every doc_id % 83 == 0 issues its
+    first 8 distinct tokens as a query; top-10 corpus docs per query,
+    self-matches excluded. Scores are integer micro-sums so the ranking
+    is reproducible under any partitioning; the oracle replicates the
+    FULL plan — tokenization, tf with carried doc length, query-vocab df,
+    idf·tfnorm micro-rounding, integer sum, tie-broken window. Library:
+    operators/retrieval.py:bm25_topk."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") % BM25_QSTRIDE == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(_curation_tokens(F.col("text")), 1, BM25_QTERMS).alias("terms"),
+    )
+    return bm25_topk(docs, queries, k=BM25_K, exclude_self=True)
+
+
+# tokenization/df/idf mirror operators/retrieval.py:bm25_topk exactly:
+# same left-assoc arithmetic, micro-rounding BEFORE the integer sum, and
+# (sum DESC, doc_id ASC) ranking on the exact integer score.
+_BM25_CONTRIB_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM t
+), tf AS (
+  SELECT doc_id, dlen, word, COUNT(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dlen, unnest(toks) AS word FROM t)
+  GROUP BY doc_id, dlen, word
+), qt AS (
+  SELECT doc_id AS query_id,
+         unnest(list_distinct(toks[1:{BM25_QTERMS}])) AS word
+  FROM t WHERE doc_id % {BM25_QSTRIDE} = 0
+), dfq AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df
+  FROM tf WHERE word IN (SELECT DISTINCT word FROM qt)
+  GROUP BY word
+), contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round(
+           (ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+            * ((tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * tf.dlen / stats.avgdl))))
+           * 1000000.0, 0) AS BIGINT) AS m
+  FROM tf JOIN dfq USING (word) JOIN qt USING (word) CROSS JOIN stats
+  WHERE qt.query_id <> tf.doc_id
+), bm_scored AS (
+  SELECT query_id, doc_id, SUM(m) AS sm
+  FROM contrib GROUP BY query_id, doc_id
+), bm_ranked AS (
+  SELECT query_id, doc_id, sm,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sm DESC, doc_id ASC) AS INTEGER)
+           AS rank
+  FROM bm_scored
+)"""
+
+ORACLE_BM25_TOPK = _BM25_CONTRIB_SQL + f"""
+SELECT query_id, doc_id, round(sm / 1000000.0, 6) AS bm25, rank
+FROM bm_ranked WHERE rank <= {BM25_K}
+"""
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: the BM25 lexical top-20 and the exact-cosine
+    embedding top-20 for the same query slice (doc_id % 83 == 0), fused
+    by reciprocal-rank fusion (1/(60+rank), integer micro-sums), final
+    top-10 per query. The production pattern for decontamination sweeps
+    and near-dup review — lexical catches verbatim overlap, vectors
+    catch paraphrase; RRF needs no score calibration between the two.
+    Oracle replicates BOTH ranklists and the fusion end-to-end. Library:
+    operators/retrieval.py:rrf_fuse (+ bm25_topk, ann.brute_force_topk)."""
+    from ..operators.ann import brute_force_topk
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q_lex = docs.where(F.col("doc_id") % BM25_QSTRIDE == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(_curation_tokens(F.col("text")), 1, BM25_QTERMS).alias("terms"),
+    )
+    bm = bm25_topk(docs, q_lex, k=HYB_LIST_K, exclude_self=True)
+    q_vec = emb.where(F.col("vec_id") % BM25_QSTRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ann = brute_force_topk(emb, q_vec, k=HYB_LIST_K)
+    bm_ranks = bm.select("query_id", "doc_id", "rank")
+    bm_ranks._erps_persisted = list(getattr(bm, "_erps_persisted", []) or [])
+    return rrf_fuse(
+        [bm_ranks, ann.select("query_id", "neighbor_id", "rank")],
+        k=HYB_OUT_K, c=HYB_RRF_C,
+    )
+
+
+ORACLE_HYBRID_RRF = _BM25_CONTRIB_SQL + f""", q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id % {BM25_QSTRIDE} = 0
+), c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), cos AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(CASE WHEN sqrt(list_sum(list_transform(q.qv, x -> x * x))) > 0
+                     AND sqrt(list_sum(list_transform(c.cv, x -> x * x))) > 0
+               THEN list_dot_product(q.qv, c.cv)
+                    / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                       * sqrt(list_sum(list_transform(c.cv, x -> x * x))))
+               ELSE 0.0 END, 6) AS cosine
+  FROM q CROSS JOIN c
+  WHERE q.query_id <> c.neighbor_id
+), ann_ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM cos
+), fused AS (
+  SELECT query_id, doc_id,
+         CAST(round((1.0 / (60.0 + rank)) * 1000000.0, 0) AS BIGINT) AS m
+  FROM bm_ranked WHERE rank <= {HYB_LIST_K}
+  UNION ALL
+  SELECT query_id, neighbor_id AS doc_id,
+         CAST(round((1.0 / (60.0 + rank)) * 1000000.0, 0) AS BIGINT) AS m
+  FROM ann_ranked WHERE rank <= {HYB_LIST_K}
+), fsum AS (
+  SELECT query_id, doc_id, SUM(m) AS sm FROM fused GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, round(sm / 1000000.0, 6) AS rrf, rank FROM (
+  SELECT query_id, doc_id, sm,
+         CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY sm DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM fsum
+) WHERE rank <= {HYB_OUT_K}
+"""
+
+
+MIX_ALPHA, MIX_BUDGET = 0.5, 0.5
+
+
+def q_corpus_mix_temperature(spark, sf_dir):
+    """Temperature-weighted source mixing (rate ∝ n_s^0.5, budget 50%):
+    deterministic md5-bucket keeps, per-source rates normalized over a
+    source-ordered fold. alpha=0.5 rides sqrt (IEEE-correctly-rounded →
+    cross-engine bit parity). Library:
+    operators/curation.py:sample_corpus_temperature."""
+    from ..operators.curation import sample_corpus_temperature
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return sample_corpus_temperature(
+        docs, alpha=MIX_ALPHA, budget_frac=MIX_BUDGET)
+
+
+ORACLE_CORPUS_MIX = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), norm AS (
+  SELECT list_sum(list(sqrt(n_s) ORDER BY source)) AS s_norm,
+         SUM(n_s) AS n_total
+  FROM counts
+), rates AS (
+  SELECT source,
+         round(least(1.0, {MIX_BUDGET} * CAST(n_total AS DOUBLE)
+                          * sqrt(n_s) / s_norm / n_s), 6) AS rate
+  FROM counts CROSS JOIN norm
+)
+SELECT d.doc_id, d.source, r.rate,
+       CAST(('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT)
+         < CAST(round(r.rate * 4294967296.0, 0) AS BIGINT) AS kept
+FROM documents d JOIN rates r USING (source)
+"""
+
+
+SPLIT_SHARDS = 8
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split + 8-way shard-shuffle:
+    split/shard/in-shard position are each independent md5 functions of
+    the id (stable release-over-release; no global sort — the position
+    window is per (split, shard)). Library:
+    operators/curation.py:split_corpus."""
+    from ..operators.curation import split_corpus
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return split_corpus(docs, n_shards=SPLIT_SHARDS)
+
+
+ORACLE_CORPUS_SPLIT = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 10000 AS bucket,
+         CAST(CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT)
+              % {SPLIT_SHARDS} AS INTEGER) AS shard,
+         CAST(('0x' || substring(md5('pos:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) AS p
+  FROM documents
+), s AS (
+  SELECT doc_id, bucket,
+         CASE WHEN bucket < 9000 THEN 'train'
+              WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split,
+         shard, p
+  FROM h
+)
+SELECT doc_id, bucket, split, shard,
+       CAST(row_number() OVER (PARTITION BY split, shard
+                               ORDER BY p, doc_id) AS INTEGER) AS pos
+FROM s
+"""
+
+
 # =============================================================================
 # Registry
 # =============================================================================
@@ -3755,6 +3980,8 @@ QUERIES = {
     "docs_tfidf": q_docs_tfidf,
     "domain_stats": q_domain_stats,
     "corpus_sample": q_corpus_sample,
+    "corpus_mix_temperature": q_corpus_mix_temperature,
+    "corpus_split": q_corpus_split,
     "decontaminate": q_decontaminate,
     # dedup
     "dedup_exact": q_dedup_exact,
@@ -3770,6 +3997,9 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
     "ann_ivf_pq": q_ann_ivf_pq,
+    # retrieval (lexical + hybrid fusion)
+    "bm25_topk": q_bm25_topk,
+    "hybrid_rrf": q_hybrid_rrf,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_srp": q_embedding_near_dup_srp,
     "embedding_centroids": q_embedding_centroids,
@@ -3866,6 +4096,10 @@ ORACLE_SQL = {
     "ann_ivf": _oracle_ann_ivf(),
     "ann_pq": ORACLE_ANN_PQ,
     "ann_ivf_pq": _oracle_ann_ivf_pq(),
+    "bm25_topk": ORACLE_BM25_TOPK,
+    "hybrid_rrf": ORACLE_HYBRID_RRF,
+    "corpus_mix_temperature": ORACLE_CORPUS_MIX,
+    "corpus_split": ORACLE_CORPUS_SPLIT,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_srp": _oracle_embedding_near_dup_srp(),
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
