@@ -3866,6 +3866,26 @@ SELECT query_id, doc_id, round(sm / 1000000.0, 6) AS rrf, rank FROM (
 """
 
 
+def q_stream_bm25(spark, sf_dir):
+    """Incremental lexical retrieval as a foreachBatch stream
+    (streaming/incremental.py:stream_bm25): the corpus is BM25-indexed
+    ONCE into static persisted postings state; newly landed documents
+    (doc_id % 83 == 0) stream in and each micro-batch issues its first
+    8 distinct tokens as a query and broadcast-probes the index — new
+    docs get lexical neighbors, the corpus is never re-tokenized.
+    Batching-invariant (a delta row's ranklist depends only on corpus
+    state + its own row), so the stream equals the one-shot batch
+    bm25_topk and REUSES its full-plan oracle."""
+    from ..streaming.incremental import _tmp_sink_dir, stream_bm25
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    delta = docs.where(F.col("doc_id") % BM25_QSTRIDE == 0)
+    d = _tmp_sink_dir("inc_bm25q_")  # atexit-cleaned, like the stream sinks
+    delta.coalesce(1).write.mode("overwrite").parquet(d)
+    return stream_bm25(spark, d, docs, k=BM25_K,
+                       n_query_terms=BM25_QTERMS, timeout_s=240)
+
+
 MIX_ALPHA, MIX_BUDGET = 0.5, 0.5
 
 
@@ -3963,6 +3983,7 @@ QUERIES = {
     "stream_ann": q_stream_ann,
     "stream_vocab": q_stream_vocab,
     "stream_strip_spans": q_stream_strip_spans,
+    "stream_bm25": q_stream_bm25,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
     "corpus_curation": q_corpus_curation,
@@ -4156,5 +4177,6 @@ ORACLE_SQL = {
     "stream_ann": _oracle_ann_ivf(),
     "stream_vocab": ORACLE_STREAM_VOCAB,
     "stream_strip_spans": ORACLE_STREAM_STRIP_SPANS,
+    "stream_bm25": ORACLE_BM25_TOPK,
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

@@ -806,3 +806,80 @@ def stream_decontaminate_corpus(
         (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap)
         .alias("contaminated"),
     )
+
+
+# --- incremental retrieval: delta queries probe a static lexical index ------
+
+
+def stream_bm25(
+    spark: SparkSession,
+    delta_path: str,
+    corpus_docs: DataFrame,
+    k: int = 10,
+    n_query_terms: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exclude_self: bool = True,
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Incremental lexical retrieval: newly landed documents stream
+    against a STATIC BM25 index of the corpus and receive their top-k
+    lexical neighbors — the daily-delta shape for decontamination sweeps
+    and near-dup triage (every new page gets its closest corpus docs;
+    the corpus is tokenized/indexed exactly once). Each micro-batch
+    issues its first ``n_query_terms`` distinct tokens as the query and
+    broadcast-probes the persisted postings index, so per-batch cost is
+    O(|delta| × matching postings), never a corpus re-scan.
+
+    A delta row's ranklist depends only on (corpus state, its own row) —
+    batching-invariant by construction, equal to the one-shot batch
+    ``bm25_topk`` (pytest-asserted single-batch and file-at-a-time).
+    Checkpoint + ``batch=<id>`` overwrite sinks give the same
+    effectively-exactly-once contract as the other incremental streams.
+    """
+    from ..operators.curation import _tokens
+    from ..operators.retrieval import bm25_topk, corpus_bm25_state
+    from ..operators.scoring import release_persisted
+
+    state = corpus_bm25_state(corpus_docs, id_col, text_col)
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(delta_path):
+        parent, fname = os.path.split(delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(delta_path)
+
+    if sink_dir is None:
+        sink_dir = _tmp_sink_dir("inc_bm25_sink_")
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "topk")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        q = batch.select(
+            F.col(id_col).alias("query_id"),
+            F.slice(_tokens(F.col(text_col)), 1, n_query_terms)
+            .alias("terms"),
+        )
+        scored = bm25_topk(None, q, k=k, exclude_self=exclude_self,
+                           state=state)
+        scored.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
+        release_persisted(scored)  # per-batch probe caches, not the index
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, timeout_s, "incremental BM25", persisted=(state[0],))
+    if not os.path.isdir(out_dir):  # empty delta: no batch ever fired
+        return spark.createDataFrame(
+            [], "query_id bigint, doc_id bigint, bm25 double, rank int")
+    return spark.read.option("basePath", out_dir).parquet(out_dir) \
+        .select("query_id", "doc_id", "bm25", "rank")

@@ -105,3 +105,52 @@ def test_ivf_assignment_is_narrow(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     _, assigned = ivf_assign_cells(emb, n_cells=4)
     assert _exchanges(_plan(assigned)) == []
+
+
+def test_bm25_probes_are_broadcast_and_no_term_shuffle(spark):
+    """PLANS.md's retrieval claims: the query-term set broadcasts into
+    the postings (BroadcastHashJoins — the corpus never shuffles on raw
+    terms to meet the queries), and the only hash exchanges are the tf
+    aggregation, the (query, doc) score sum, and the per-query window —
+    none keyed on the term column alone (a corpus-vocabulary exchange
+    would not survive webtext scale)."""
+    from entity_resolution_pipeline_spark.operators.curation import _tokens
+    from entity_resolution_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+    )
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    queries = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(_tokens(F.col("text")), 1, 8).alias("terms"),
+    )
+    out = bm25_topk(docs, queries, k=5, exclude_self=True)
+    try:
+        out.collect()  # materialize so AQE finalizes the executed plan
+        plan = _plan(out)
+        # the query-term probe and the df/qterms joins ride broadcasts
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        # exactly TWO term-keyed exchanges are allowed, both bounded by
+        # the QUERY vocabulary, never the corpus's: the query-term
+        # distinct (broadcast-probe input) and the document-frequency
+        # count over the probe-restricted postings. The corpus-sized
+        # exchanges (tf agg, score sum, per-query window) must all carry
+        # a non-term key.
+        # dedup: the plan string reprints cached lineages under every
+        # InMemoryTableScan, so identical exchanges appear repeatedly
+        term_only, with_doc_key = set(), set()
+        for keys in set(re.findall(r"hashpartitioning\(([^)]*)\)", plan)):
+            cols = {c.strip().split("#")[0] for c in keys.split(",")
+                    if "#" in c}
+            if not (cols - {"word", ""}):
+                term_only.add(keys)
+            if "_d" in cols or "doc_id" in cols or "query_id" in cols:
+                with_doc_key.add(keys)
+        assert len(term_only) <= 2, \
+            f"term-only exchanges {sorted(term_only)}:\n{plan}"
+        assert with_doc_key, f"no doc-keyed exchange found:\n{plan}"
+    finally:
+        release_persisted(out)

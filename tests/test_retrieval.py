@@ -157,3 +157,38 @@ def test_split_corpus_stability_and_positions(spark):
     full = {r["doc_id"]: (r["split"], r["shard"]) for r in out}
     for r in half:
         assert (r["split"], r["shard"]) == full[r["doc_id"]]
+
+
+def test_stream_bm25_equals_batch_and_batching_invariant(spark, tmp_path):
+    """The incremental retrieval stream equals the one-shot batch, both
+    as a single batch and file-at-a-time (batching invariance: a delta
+    row's ranklist is a pure function of corpus state + its own row)."""
+    from entity_resolution_pipeline_spark.operators.curation import _tokens
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_bm25,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    delta = docs.where(F.col("doc_id") % 7 == 0)
+    queries = delta.select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(_tokens(F.col("text")), 1, 8).alias("terms"),
+    )
+    want = sorted(map(tuple, bm25_topk(
+        docs, queries, k=5, exclude_self=True).collect()))
+    assert want, "batch reference is empty — test corpus too small"
+
+    one = str(tmp_path / "one")
+    delta.coalesce(1).write.mode("overwrite").parquet(one)
+    got = sorted(map(tuple, stream_bm25(
+        spark, one, docs, k=5, n_query_terms=8,
+        sink_dir=str(tmp_path / "s1"), timeout_s=240).collect()))
+    assert got == want
+
+    many = str(tmp_path / "many")
+    delta.repartition(3).write.mode("overwrite").parquet(many)
+    got2 = sorted(map(tuple, stream_bm25(
+        spark, many, docs, k=5, n_query_terms=8,
+        max_files_per_trigger=1,
+        sink_dir=str(tmp_path / "s2"), timeout_s=240).collect()))
+    assert got2 == want
