@@ -493,6 +493,58 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                 .where(F.col("cosine") >= threshold)
 
 
+def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_cells: int = 16,
+                   threshold: float = 0.95, seed: int = 42) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, compare pairs ONLY within a cluster, and drop every
+    vector that has a higher-cosine-than-threshold neighbor with a
+    smaller id — semantic near-dup pruning, the embedding-space sibling
+    of MinHash dedup (no reference analog; LLM-pipeline extension).
+
+    Returns every row labeled: (id, cell_id, is_keeper). A row is dropped
+    iff SOME smaller-id vector in the same cell has cosine ≥ threshold
+    (deterministic greedy min-id keeper — the same keeper rule as
+    :func:`exact_dedup`, so downstream keeps ``WHERE is_keeper``).
+
+    Scale shape: the coarse quantizer is the IVF cell assignment
+    (operators/ann.py:ivf_assign_cells — one narrow corpus pass against
+    driver-state centroids), and the pairwise stage shuffles BOTH sides on
+    cell_id, so the quadratic term is Σ|cell|², never |corpus|² — at
+    100 TB you raise ``n_cells`` so cells stay bounded (the paper runs
+    k-means with k ≈ 10⁵ for exactly this reason; the operator contract
+    is identical, the centroid draw is the deterministic seeded one).
+    Cosines are rounded to 6dp BEFORE thresholding on both engines so the
+    keep/drop boundary cannot drift across float summation orders.
+    """
+    from .ann import ivf_assign_cells
+    from ..functions.similarity import cosine_col
+
+    _, assigned = ivf_assign_cells(emb, n_cells, id_col, vec_col, seed)
+    base = assigned.select(F.col(id_col).alias("id"), "cell_id",
+                           F.col(vec_col).alias("v"))
+    a = base.select("cell_id", F.col("id").alias("id_a"),
+                    F.col("v").alias("v_a"))
+    b = base.select("cell_id", F.col("id").alias("id_b"),
+                    F.col("v").alias("v_b"))
+    dropped = (
+        a.join(b, "cell_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6)
+               >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        base.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col), "cell_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_keeper"),
+        )
+    )
+
+
 # --- Benchmark decontamination ---------------------------------------------------
 
 
@@ -537,6 +589,98 @@ def contamination_flags(train: DataFrame, eval_docs: DataFrame,
             F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
             .alias("n_overlap"),
             (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap)
+            .alias("contaminated"),
+        )
+    )
+
+
+def fuzzy_contamination_flags(train: DataFrame, eval_docs: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", k: int = 3,
+                              n_bands: int = 4, threshold: float = 0.5,
+                              stop_threshold: int | None = None,
+                              shingles: DataFrame | None = None) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training docs that NEAR-match
+    an eval-set doc — MinHash-LSH candidates between corpus and eval set,
+    verified by one-sided shingle containment on the EVAL side
+    (|train∩eval| / |eval|), so a benchmark item embedded verbatim-ish
+    inside a longer page is caught even when whole-doc Jaccard is low and
+    the exact-shingle counter (:func:`contamination_flags`) under-counts a
+    lightly paraphrased copy. This is the GPT-3/PaLM-style 13-gram-fuzzy
+    decontamination stage, as an operator.
+
+    Returns every training row: (id, n_eval_matches, max_containment,
+    contaminated). Containment is rounded to 6dp BEFORE thresholding on
+    both engines.
+
+    100 TB shape: the eval side is tiny, so its band buckets AND its
+    shingle arrays broadcast; the corpus makes ONE pass to band buckets
+    (same per-band MinHash fold as dedup), one broadcast join produces
+    (train_id, eval_id) candidates, and only candidates fetch shingle
+    arrays for verification — the corpus text never shuffles.
+    ``stop_threshold`` drops degenerate corpus buckets exactly like
+    :func:`lsh_candidate_pairs` (a stopword-dominated band value would
+    otherwise fan every page out against the eval set). Pass a
+    precomputed ``shingles`` table (id, sh; same ``k``!) to share the
+    corpus shingling with a dedup stage in the same job.
+    """
+    from ..functions.hashing import minhash_sig_col
+
+    def _buckets(sh: DataFrame) -> DataFrame:
+        return (
+            sh.select("id", F.posexplode(minhash_sig_col(F.col("sh"),
+                                                         n_bands))
+              .alias("band", "v"))
+            .where(F.col("v").isNotNull())
+            .select("id", F.concat(F.col("band").cast("string"), F.lit(":"),
+                                   F.col("v")).alias("bucket"))
+        )
+
+    tr_sh = shingles if shingles is not None \
+        else shingle_table(train, id_col, text_col, k)
+    ev_sh = shingle_table(eval_docs, id_col, text_col, k)
+    tr_b = _buckets(tr_sh)
+    if stop_threshold is not None:
+        sizes = tr_b.groupBy("bucket").agg(F.count("*").alias("n"))
+        tr_b = tr_b.join(
+            F.broadcast(sizes.where(F.col("n") > stop_threshold)),
+            "bucket", "left_anti")
+    ev_b = _buckets(ev_sh).select("bucket", F.col("id").alias("eval_id")) \
+                          .distinct()
+    cand = (
+        tr_b.join(F.broadcast(ev_b), "bucket")
+        .select("id", "eval_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(tr_sh.select(F.col("id"), F.col("sh").alias("sh_t")), "id")
+        .join(F.broadcast(ev_sh.select(F.col("id").alias("eval_id"),
+                                       F.col("sh").alias("sh_e"))),
+              "eval_id")
+        .select(
+            "id", "eval_id",
+            F.round(
+                F.when(F.size("sh_e") > 0,
+                       F.size(F.array_intersect("sh_t", "sh_e"))
+                       .cast("double") / F.size("sh_e"))
+                .otherwise(F.lit(0.0)), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    hits = verified.groupBy("id").agg(
+        F.count("*").alias("n_eval_matches"),
+        F.max("containment").alias("max_containment"),
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_eval_matches"), F.lit(0)).cast("long")
+            .alias("n_eval_matches"),
+            F.round(F.coalesce(F.col("max_containment"), F.lit(0.0)), 6)
+            .alias("max_containment"),
+            (F.coalesce(F.col("n_eval_matches"), F.lit(0)) > 0)
             .alias("contaminated"),
         )
     )

@@ -3967,6 +3967,237 @@ FROM s
 # Registry
 # =============================================================================
 
+SEMDEDUP_CELLS = 8
+SEMDEDUP_THRESHOLD = 0.6
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): embedding-cluster semantic near-dup
+    pruning — every vector labeled (vec_id, cell_id, is_keeper), dropped
+    iff a smaller-id vector in the same coarse cell has cosine ≥ 0.6.
+    The oracle replicates the FULL plan (seeded centroid draw, cosine
+    argmax cell assignment, within-cell pair scan, greedy min-id keeper)
+    so the hash match verifies the approximate clustering itself.
+    Library: operators/dedup.py:semantic_dedup."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_cells=SEMDEDUP_CELLS,
+                          threshold=SEMDEDUP_THRESHOLD)
+
+
+def _oracle_semantic_dedup() -> str:
+    cos_ac = _IVF_COS.format(a="v.e", b="cn.c")
+    cos_ab = _IVF_COS.format(a="a.e", b="b.e")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY _h) AS INT) AS cell_id, e AS c
+  FROM (SELECT e, md5(CAST(vec_id AS VARCHAR) || ':42') AS _h
+        FROM v ORDER BY _h LIMIT {SEMDEDUP_CELLS})
+), asg AS (
+  SELECT v.vec_id, v.e, cn.cell_id,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY {cos_ac} DESC, cn.cell_id ASC) AS rn
+  FROM v CROSS JOIN cent cn
+), cells AS (
+  SELECT vec_id, e, cell_id FROM asg WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE round({cos_ab}, 6) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT c.vec_id, c.cell_id, d.vec_id IS NULL AS is_keeper
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
+FUZZY_DECON_THRESHOLD = 0.5
+
+
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """FUZZY benchmark decontamination: MinHash-LSH candidates between
+    the corpus and the deterministic eval slice (doc_id % 97 == 0),
+    verified by EVAL-side shingle containment ≥ 0.5 — catches paraphrased
+    or embedded benchmark items the exact-shingle counter under-counts
+    (the GPT-3-style fuzzy decontamination stage). Full-plan oracle:
+    per-band MinHash CTEs + broadcast-shaped bucket join + containment
+    verify. Library: operators/dedup.py:fuzzy_contamination_flags."""
+    from ..operators.dedup import fuzzy_contamination_flags
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    return fuzzy_contamination_flags(
+        docs, eval_docs, k=3, n_bands=4,
+        threshold=FUZZY_DECON_THRESHOLD, stop_threshold=LSH_STOP)
+
+
+def _oracle_fuzzy_decontaminate(n_bands: int = 4) -> str:
+    bands = ", ".join(f"{_mh_band_sql(b)} AS mh_{b}" for b in range(n_bands))
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}:' || mh_{b} AS bucket FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH t AS ({_SHINGLE_SQL}), s AS ({_SHINGLE3}),
+sigs AS (SELECT doc_id, {bands} FROM s),
+buckets0 AS ({unions}),
+keep AS (SELECT bucket FROM buckets0 GROUP BY bucket
+         HAVING COUNT(*) <= {LSH_STOP}),
+tb AS (SELECT b.* FROM buckets0 b JOIN keep k ON b.bucket = k.bucket),
+eb AS (SELECT DISTINCT bucket, doc_id AS eval_id FROM buckets0
+       WHERE doc_id % 97 = 0),
+cand AS (
+  SELECT DISTINCT tb.doc_id, eb.eval_id
+  FROM tb JOIN eb ON tb.bucket = eb.bucket
+), ver AS (
+  SELECT c.doc_id, c.eval_id,
+         round(CASE WHEN len(se.sh) > 0
+               THEN CAST(len(list_intersect(st.sh, se.sh)) AS DOUBLE)
+                    / len(se.sh) ELSE 0.0 END, 6) AS containment
+  FROM cand c
+  JOIN s st ON c.doc_id = st.doc_id
+  JOIN s se ON c.eval_id = se.doc_id
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_eval_matches,
+         MAX(containment) AS max_containment
+  FROM ver WHERE containment >= {FUZZY_DECON_THRESHOLD}
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+       round(coalesce(h.max_containment, 0.0), 6) AS max_containment,
+       coalesce(h.n_eval_matches, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+BPE_MERGES = 8
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training: learn 8 merges over the corpus
+    — ONE corpus pass to the word-frequency table, then per-merge
+    aggregations over that small table with the winner collected as
+    driver state (tokenizer induction, the Sennrich '16 algorithm
+    distributed). The oracle replays the ENTIRE iterative loop in SQL:
+    8 chained CTE groups, each counting weighted adjacent pairs, picking
+    the (count DESC, left ASC, right ASC) argmax, and re-segmenting via a
+    gaps-and-islands formulation of the same greedy left-to-right
+    non-overlapping scan the Spark fold implements.
+    Library: operators/tokenizer.py:bpe_train."""
+    from ..operators.tokenizer import bpe_train
+
+    return bpe_train(_t_wide(spark, sf_dir, "documents"),
+                     n_merges=BPE_MERGES)
+
+
+def q_bpe_segment(spark, sf_dir):
+    """Apply the freshly-trained BPE vocabulary back to the corpus:
+    per-source (n_words, n_bpe_tokens, avg_tokens_per_word) via the
+    dictionary-encode join (explode words ⋈ final word→|segmentation|
+    table) — the scale-correct encode, never a per-doc merge-loop replay.
+    Verifies the final segmentation STATE of training (q_bpe_train
+    verifies the winners). Library: operators/tokenizer.py:bpe_token_stats."""
+    from ..operators.tokenizer import bpe_token_stats
+
+    return bpe_token_stats(_t_wide(spark, sf_dir, "documents"),
+                           n_merges=BPE_MERGES)
+
+
+def _oracle_bpe(n_merges: int, mode: str) -> str:
+    """Generated DuckDB replica of the full BPE training loop.
+
+    Iteration k: pc{{k}} counts adjacent symbol pairs weighted by word
+    frequency; win{{k}} is the deterministic argmax; pos/run/sel{{k}}
+    implement the greedy non-overlapping merge scan as gaps-and-islands
+    (consecutive matched positions — only possible when left==right —
+    alternate merge/skip, i.e. odd offsets within each run merge);
+    seq{{k}} drops absorbed positions and rebuilds the list in order.
+    ``mode``: "train" emits the merge table, "segment" joins the final
+    segmentation back to the corpus words per source."""
+    parts = [r"""
+WITH w AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                 '\s+'),
+                  x -> x <> '')) AS word FROM documents)
+  GROUP BY word
+), seq0 AS MATERIALIZED (
+  SELECT word, wc,
+         list_transform(generate_series(1, length(word)),
+                        i -> substring(word, i, 1)) AS seq
+  FROM w
+)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f""",
+pc{k} AS (
+  SELECT l, r, SUM(wc) AS n FROM (
+    SELECT wc, seq[i] AS l, seq[i + 1] AS r
+    FROM (SELECT wc, seq, unnest(generate_series(1, len(seq) - 1)) AS i
+          FROM seq{p} WHERE len(seq) >= 2)
+  ) GROUP BY l, r
+),
+win{k} AS MATERIALIZED (
+  SELECT l, r, l || r AS m, n FROM pc{k}
+  ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+pos{k} AS (
+  SELECT word, wc, i, seq[i] AS sym,
+         coalesce(i < len(seq) AND seq[i] = (SELECT l FROM win{k})
+                  AND seq[i + 1] = (SELECT r FROM win{k}), FALSE) AS mt
+  FROM (SELECT word, wc, seq, unnest(generate_series(1, len(seq))) AS i
+        FROM seq{p})
+),
+run{k} AS (
+  SELECT *, i - row_number() OVER (PARTITION BY word, mt ORDER BY i) AS grp
+  FROM pos{k}
+),
+sel{k} AS (
+  SELECT word, wc, i, sym,
+         mt AND (row_number() OVER (PARTITION BY word, mt, grp ORDER BY i)
+                 % 2 = 1) AS mh
+  FROM run{k}
+),
+seq{k} AS MATERIALIZED (
+  SELECT word, wc, list(osym ORDER BY i) AS seq FROM (
+    SELECT word, wc, i,
+           CASE WHEN mh THEN (SELECT m FROM win{k}) ELSE sym END AS osym,
+           lag(mh, 1, FALSE) OVER (PARTITION BY word ORDER BY i) AS absorbed
+    FROM sel{k})
+  WHERE NOT absorbed GROUP BY word, wc
+)""")
+    if mode == "train":
+        union = " UNION ALL ".join(
+            f"SELECT {k} AS rank, l AS lft, r AS rgt, m AS merged, "
+            f"n AS pair_count FROM win{k}"
+            for k in range(1, n_merges + 1)
+        )
+        parts.append(f"""
+SELECT CAST(rank AS INTEGER) AS rank, lft, rgt, merged,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM ({union})
+""")
+    else:
+        parts.append(rf"""
+SELECT d.source, COUNT(*) AS n_words,
+       CAST(SUM(len(s.seq)) AS BIGINT) AS n_bpe_tokens,
+       round(AVG(len(s.seq)), 6) AS avg_tokens_per_word
+FROM (SELECT source,
+             unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                   '\s+'),
+                    x -> x <> '')) AS word
+      FROM documents) d
+JOIN seq{n_merges} s USING (word)
+GROUP BY d.source
+""")
+    return "".join(parts)
+
+
 QUERIES = {
     # ORDER = driver-record priority. Round 2's correctness record clipped
     # the tail of the battery (exactly 50 of 52 rows landed), so the dict
@@ -4004,6 +4235,10 @@ QUERIES = {
     "corpus_mix_temperature": q_corpus_mix_temperature,
     "corpus_split": q_corpus_split,
     "decontaminate": q_decontaminate,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    # tokenizer induction (distributed BPE)
+    "bpe_train": q_bpe_train,
+    "bpe_segment": q_bpe_segment,
     # dedup
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sigs": q_dedup_minhash_sigs,
@@ -4013,6 +4248,7 @@ QUERIES = {
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "dedup_simhash": q_dedup_simhash,
     "dedup_canonical": q_dedup_canonical,
+    "semantic_dedup": q_semantic_dedup,
     # embeddings
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
@@ -4161,6 +4397,10 @@ ORACLE_SQL = {
     "media_wav_decode": ORACLE_MEDIA_WAV_DECODE,
     "media_ppm_resize": ORACLE_MEDIA_PPM_RESIZE,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "fuzzy_decontaminate": _oracle_fuzzy_decontaminate(4),
+    "semantic_dedup": _oracle_semantic_dedup(),
+    "bpe_train": _oracle_bpe(BPE_MERGES, "train"),
+    "bpe_segment": _oracle_bpe(BPE_MERGES, "segment"),
     "training_corpus": _oracle_training_corpus(),
     "corpus_length_stats": ORACLE_CORPUS_LENGTH_STATS,
     "vocab_topk": ORACLE_VOCAB_TOPK,
