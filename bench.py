@@ -48,6 +48,7 @@ BATTERY = [
     # round-4 rows
     "remove_dup_spans", "curation_gate_extended", "ann_ivf_pq",
     "stream_strip_spans", "bm25_topk", "hybrid_rrf",
+    "semantic_dedup", "fuzzy_decontaminate", "bpe_train",
 ]
 
 

@@ -521,8 +521,12 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
     from ..functions.similarity import cosine_col
 
     _, assigned = ivf_assign_cells(emb, n_cells, id_col, vec_col, seed)
+    # persist the assignment: it feeds BOTH self-join sides and the final
+    # labeled output — without it the (narrow but vector-width) centroid
+    # argmax runs three times over the corpus
     base = assigned.select(F.col(id_col).alias("id"), "cell_id",
-                           F.col(vec_col).alias("v"))
+                           F.col(vec_col).alias("v")) \
+                   .persist(StorageLevel.MEMORY_AND_DISK)
     a = base.select("cell_id", F.col("id").alias("id_a"),
                     F.col("v").alias("v_a"))
     b = base.select("cell_id", F.col("id").alias("id_b"),
@@ -536,13 +540,15 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
         .distinct()
         .withColumn("_dropped", F.lit(True))
     )
-    return (
+    out = (
         base.join(dropped, "id", "left")
         .select(
             F.col("id").alias(id_col), "cell_id",
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_keeper"),
         )
     )
+    out._erps_persisted = [base]
+    return out
 
 
 # --- Benchmark decontamination ---------------------------------------------------
@@ -636,8 +642,15 @@ def fuzzy_contamination_flags(train: DataFrame, eval_docs: DataFrame,
                                    F.col("v")).alias("bucket"))
         )
 
-    tr_sh = shingles if shingles is not None \
-        else shingle_table(train, id_col, text_col, k)
+    if shingles is not None:
+        tr_sh, own = shingles, []
+    else:
+        # corpus shingles feed BOTH the bucket pass and the verify join —
+        # persist so the corpus is tokenized+shingled once (the same
+        # sharing rule as minhash_near_duplicates)
+        tr_sh = shingle_table(train, id_col, text_col, k) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        own = [tr_sh]
     ev_sh = shingle_table(eval_docs, id_col, text_col, k)
     tr_b = _buckets(tr_sh)
     if stop_threshold is not None:
@@ -671,7 +684,7 @@ def fuzzy_contamination_flags(train: DataFrame, eval_docs: DataFrame,
         F.count("*").alias("n_eval_matches"),
         F.max("containment").alias("max_containment"),
     )
-    return (
+    out = (
         train.select(F.col(id_col).alias("id"))
         .join(hits, "id", "left")
         .select(
@@ -684,3 +697,5 @@ def fuzzy_contamination_flags(train: DataFrame, eval_docs: DataFrame,
             .alias("contaminated"),
         )
     )
+    out._erps_persisted = own
+    return out
