@@ -79,6 +79,19 @@ def ivf_assign_cells(vectors: DataFrame, n_cells: int = 16,
     # draw on every use
     centroids = vectors.sparkSession.createDataFrame(
         cent_rows, schema=lazy_centroids.schema)
+    assigned = assign_cells_with(vectors, cent_rows, id_col, vec_col)
+    return centroids, assigned
+
+
+def assign_cells_with(vectors: DataFrame, cent_rows,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Assign vectors to their nearest cell against PREBUILT centroid rows
+    (cell_id, centroid) — the quantizer applied to new data: one narrow
+    projection against the driver-state literals, used both by the
+    one-shot index build and by each incremental-stream micro-batch (a
+    delta vector must land in exactly the cell the corpus build would
+    have given it)."""
     cent_lit = F.array(*[
         F.struct(
             F.lit(int(r["cell_id"])).alias("cell_id"),
@@ -96,9 +109,8 @@ def ivf_assign_cells(vectors: DataFrame, n_cells: int = 16,
         ),
     )
     best_cell = (-F.array_max(scored)["neg_cell"]).cast("int")
-    assigned = vectors.select(F.col(id_col), F.col(vec_col),
-                              best_cell.alias("cell_id"))
-    return centroids, assigned
+    return vectors.select(F.col(id_col), F.col(vec_col),
+                          best_cell.alias("cell_id"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,

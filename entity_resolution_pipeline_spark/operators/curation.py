@@ -796,3 +796,75 @@ def split_corpus(docs: DataFrame, id_col: str = "doc_id",
         id_col, "bucket", "split", "shard",
         F.row_number().over(w).cast("int").alias("pos"),
     )
+
+
+LINE_DEDUP_MIN_COUNT = 3   # C4: drop any line occurring >= 3x corpus-wide
+LINE_DEDUP_MIN_WORDS = 4   # C4-ish: drop degenerate short lines
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               min_count: int = LINE_DEDUP_MIN_COUNT,
+               min_words: int = LINE_DEDUP_MIN_WORDS,
+               line_sep: str = "\n") -> DataFrame:
+    """C4-style line-level boilerplate removal (Raffel et al. 2020 §2.2,
+    the rule "discarded any line that occurred more than [twice] in the
+    data set", plus the short-line floor): split each document into
+    lines, drop every line whose EXACT form occurs ``min_count``+ times
+    corpus-wide or that has fewer than ``min_words`` words, and
+    reassemble the survivors in order. Catches nav bars, cookie
+    banners, footers — the cross-document boilerplate whole-doc dedup
+    can't see (no reference analog; LLM-pipeline extension).
+
+    Returns every input row: (id, n_lines, n_kept, text_clean) — docs
+    whose lines all drop stay present with ``text_clean = ''`` so a
+    downstream gate (not this operator) decides their fate.
+
+    100 TB shape: one map-side line fan-out; ONE map-side-combined
+    count shuffle on the line key; the frequent-line set comes back as
+    a plain left-anti equi-join (NOT a forced broadcast — boilerplate
+    line sets at web scale run to billions of rows; AQE may still
+    choose BHJ when small); one reassembly aggregation on id with the
+    order carried by the exploded position, sorted per GROUP (never a
+    global sort). Line counting keys on the raw line string — at web
+    scale substitute a 128-bit hash key to narrow the exchange; the
+    string key is kept here so SQL oracles replicate the plan
+    bit-for-bit.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             line_sep)).alias("pos", "line"),
+    )
+    frequent = (
+        lines.groupBy("line").agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("line")
+    )
+    kept = (
+        lines
+        .where(F.size(F.filter(F.split(F.col("line"), r"\s+"),
+                               lambda t: t != "")) >= min_words)
+        .join(frequent, "line", "left_anti")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("text_clean"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

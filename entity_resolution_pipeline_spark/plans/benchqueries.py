@@ -3968,7 +3968,7 @@ FROM s
 # =============================================================================
 
 SEMDEDUP_CELLS = 8
-SEMDEDUP_THRESHOLD = 0.6
+SEMDEDUP_THRESHOLD = 0.35
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -4012,6 +4012,61 @@ WITH v AS (
 )
 SELECT c.vec_id, c.cell_id, d.vec_id IS NULL AS is_keeper
 FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
+def q_stream_semantic_dedup(spark, sf_dir):
+    """Incremental SemDeDup as a foreachBatch stream
+    (streaming/incremental.py:stream_semantic_dedup): the curated corpus
+    (vec_id ≥ 20) is cell-indexed ONCE into static persisted state; new
+    vectors (vec_id < 20) stream in, land in exactly the cell the corpus
+    build would give them (same driver-state centroid literals), and are
+    flagged against corpus neighbors with cosine ≥ 0.35 — admission
+    control for an embedding-deduplicated corpus. Batching-invariant
+    (delta-vs-corpus only, by design), so the FULL-plan oracle replicates
+    the corpus centroid draw, both assignments, and the thresholded
+    cell-join count."""
+    from ..streaming.incremental import _tmp_sink_dir, stream_semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 20)
+    delta = emb.where(F.col("vec_id") < 20)
+    d = _tmp_sink_dir("inc_semdq_")  # atexit-cleaned, like the stream sinks
+    delta.coalesce(1).write.mode("overwrite").parquet(d)
+    return stream_semantic_dedup(spark, d, corpus, n_cells=SEMDEDUP_CELLS,
+                                 threshold=SEMDEDUP_THRESHOLD, timeout_s=240)
+
+
+def _oracle_stream_semantic_dedup() -> str:
+    cos_ac = _IVF_COS.format(a="v.e", b="cn.c")
+    cos_dc = _IVF_COS.format(a="d.e", b="a.e")
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY _h) AS INT) AS cell_id, e AS c
+  FROM (SELECT e, md5(CAST(vec_id AS VARCHAR) || ':42') AS _h
+        FROM v0 WHERE vec_id >= 20 ORDER BY _h LIMIT {SEMDEDUP_CELLS})
+), asg AS (
+  SELECT v.vec_id, v.e, cn.cell_id,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY {cos_ac} DESC, cn.cell_id ASC) AS rn
+  FROM v0 v CROSS JOIN cent cn
+), cells AS (
+  SELECT vec_id, e, cell_id FROM asg WHERE rn = 1
+), hits AS (
+  SELECT d.vec_id, COUNT(*) AS n
+  FROM cells d JOIN cells a ON d.cell_id = a.cell_id
+  WHERE d.vec_id < 20 AND a.vec_id >= 20
+    AND round({cos_dc}, 6) >= {SEMDEDUP_THRESHOLD}
+  GROUP BY d.vec_id
+)
+SELECT c.vec_id, c.cell_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_corpus_dups,
+       h.n IS NULL AS is_keeper
+FROM cells c LEFT JOIN hits h ON c.vec_id = h.vec_id
+WHERE c.vec_id < 20
 """
 
 
@@ -4072,6 +4127,81 @@ SELECT d.doc_id,
        round(coalesce(h.max_containment, 0.0), 6) AS max_containment,
        coalesce(h.n_eval_matches, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+LINE_WORDS = 8  # deterministic line synthesis: one line per 8 words
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style line-level boilerplate removal: drop every line occurring
+    ≥3 times corpus-wide or shorter than 4 words, reassemble the
+    survivors in order. The synthetic docs are single-line, so the row
+    first synthesizes deterministic line structure (one line per 8
+    lowercase words — same fixture discipline as the media rows'
+    byte-assembly); the planted near-dup docs then share EXACT lines, so
+    both rules genuinely fire (~194 line occurrences sit in ≥3 groups at
+    sf0.01). Library: operators/curation.py:line_dedup."""
+    from ..operators.curation import line_dedup
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                            r"\s+"), lambda t: t != "")
+    inner = docs.select("doc_id", toks.alias("_toks"))
+    n = F.size("_toks")
+    lines = F.transform(
+        F.sequence(F.lit(1), F.ceil(n / F.lit(float(LINE_WORDS))).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice("_toks", (i - F.lit(1)) * LINE_WORDS + F.lit(1),
+                         F.lit(LINE_WORDS))),
+    )
+    structured = inner.select(
+        "doc_id",
+        F.when(n > 0, F.array_join(lines, "\n")).otherwise(F.lit(""))
+        .alias("text"),
+    )
+    return line_dedup(structured, min_count=3, min_words=4)
+
+
+ORACLE_LINE_DEDUP = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), structured AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           array_to_string(list_transform(
+             generate_series(1, CAST(ceil(len(toks) / {LINE_WORDS}.0) AS INT)),
+             i -> array_to_string(
+               list_slice(toks, (i - 1) * {LINE_WORDS} + 1,
+                          i * {LINE_WORDS}), ' ')), chr(10))
+         ELSE '' END AS text
+  FROM t
+), lines AS (
+  SELECT doc_id, i - 1 AS pos, ls[i] AS ln
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+               unnest(generate_series(1, len(string_split(text, chr(10)))))
+                 AS i
+        FROM structured)
+), freq AS (
+  SELECT ln FROM lines GROUP BY ln HAVING COUNT(*) >= 3
+), kept AS (
+  SELECT l.doc_id, l.pos, l.ln
+  FROM lines l ANTI JOIN freq f ON l.ln = f.ln
+  WHERE len(list_filter(string_split_regex(l.ln, '\s+'), x -> x <> '')) >= 4
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         array_to_string(list(ln ORDER BY pos), chr(10)) AS text_clean
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(r.text_clean, '') AS text_clean
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
@@ -4215,6 +4345,7 @@ QUERIES = {
     "stream_vocab": q_stream_vocab,
     "stream_strip_spans": q_stream_strip_spans,
     "stream_bm25": q_stream_bm25,
+    "stream_semantic_dedup": q_stream_semantic_dedup,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
     "corpus_curation": q_corpus_curation,
@@ -4236,6 +4367,7 @@ QUERIES = {
     "corpus_split": q_corpus_split,
     "decontaminate": q_decontaminate,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "line_dedup": q_line_dedup,
     # tokenizer induction (distributed BPE)
     "bpe_train": q_bpe_train,
     "bpe_segment": q_bpe_segment,
@@ -4398,6 +4530,7 @@ ORACLE_SQL = {
     "media_ppm_resize": ORACLE_MEDIA_PPM_RESIZE,
     "decontaminate": ORACLE_DECONTAMINATE,
     "fuzzy_decontaminate": _oracle_fuzzy_decontaminate(4),
+    "line_dedup": ORACLE_LINE_DEDUP,
     "semantic_dedup": _oracle_semantic_dedup(),
     "bpe_train": _oracle_bpe(BPE_MERGES, "train"),
     "bpe_segment": _oracle_bpe(BPE_MERGES, "segment"),
@@ -4418,5 +4551,6 @@ ORACLE_SQL = {
     "stream_vocab": ORACLE_STREAM_VOCAB,
     "stream_strip_spans": ORACLE_STREAM_STRIP_SPANS,
     "stream_bm25": ORACLE_BM25_TOPK,
+    "stream_semantic_dedup": _oracle_stream_semantic_dedup(),
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

@@ -568,6 +568,103 @@ def stream_delta_ann(
         .select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def stream_semantic_dedup(
+    spark: SparkSession,
+    delta_path: str,
+    corpus_vecs: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Incremental SemDeDup: newly landed embedding vectors stream against
+    the STATIC cell-indexed corpus and are flagged as semantic duplicates
+    — the admission-control shape for an embedding-deduplicated corpus
+    (new vectors are checked against what is already kept; the corpus is
+    never re-paired against itself).
+
+    Per micro-batch: assign the batch to cells with the SAME driver-state
+    centroid literals the corpus index used (operators/ann.py:
+    assign_cells_with — a delta vector lands in exactly the cell the
+    corpus build would have given it), join the persisted cell-assigned
+    corpus on cell_id, count corpus neighbors with cosine ≥ threshold
+    (rounded to 6dp, the batch operator's boundary rule). Output per
+    delta vector: (vec_id, cell_id, n_corpus_dups, is_keeper).
+
+    Contract difference vs the batch :func:`~...operators.dedup.
+    semantic_dedup` (which resolves intra-set ordering by min-id): the
+    stream rule is delta-vs-CORPUS only — intra-delta pairs would make
+    the result depend on how the delta splits into micro-batches. With
+    corpus-only comparisons a vector's flag is a pure function of
+    (corpus state, its own row): batching-invariant, equal to the
+    one-shot batch computation (pytest-asserted single-batch AND
+    file-at-a-time). Checkpoint + ``batch=<id>`` overwrite sinks give
+    the same effectively-exactly-once contract as the other streams.
+    """
+    from ..operators.ann import assign_cells_with
+    from ..functions.similarity import cosine_col
+
+    centroids, assigned = corpus_ann_state(corpus_vecs, n_cells,
+                                           id_col, vec_col, seed)
+    cent_rows = centroids.collect()
+    corpus_side = assigned.select(
+        "cell_id", F.col(vec_col).alias("_cv"))
+
+    reader = spark.readStream.schema(EMB_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(delta_path):
+        parent, fname = os.path.split(delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(delta_path)
+
+    if sink_dir is None:
+        sink_dir = _tmp_sink_dir("inc_semdedup_sink_")
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "flags")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        d = assign_cells_with(batch, cent_rows, id_col, vec_col)
+        hits = (
+            d.join(corpus_side, "cell_id")
+            .where(F.round(cosine_col(F.col(vec_col), F.col("_cv")), 6)
+                   >= threshold)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_corpus_dups"))
+        )
+        out = (
+            d.join(hits, id_col, "left")
+            .select(
+                F.col(id_col), F.col("cell_id"),
+                F.coalesce(F.col("n_corpus_dups"), F.lit(0)).cast("long")
+                .alias("n_corpus_dups"),
+                (F.coalesce(F.col("n_corpus_dups"), F.lit(0)) == 0)
+                .alias("is_keeper"),
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, timeout_s, "incremental semantic dedup", persisted=(assigned,))
+    if not os.path.isdir(out_dir):  # empty delta: no batch ever fired
+        return spark.createDataFrame(
+            [], f"{id_col} bigint, cell_id int, n_corpus_dups bigint, "
+                "is_keeper boolean")
+    return spark.read.option("basePath", out_dir).parquet(out_dir) \
+        .select(id_col, "cell_id", "n_corpus_dups", "is_keeper")
+
+
 # --- incremental span removal: delta docs stripped of corpus boilerplate -----
 
 

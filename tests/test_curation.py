@@ -430,3 +430,34 @@ def test_training_corpus_string_ids(spark):
     out = out_df.collect()
     release_persisted(out_df)
     assert out and sum(r["n_docs"] for r in out) > 0
+
+
+def test_line_dedup_c4_rules(spark):
+    from entity_resolution_pipeline_spark.operators.curation import line_dedup
+
+    banner = "accept our cookie policy to continue browsing"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique first body line of doc one\nok"),
+            (2, f"{banner}\nunique second body line of doc two"),
+            (3, f"{banner}\nunique third body line of doc three"),
+            (4, banner),  # all lines drop -> present with empty text
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           line_dedup(docs, min_count=3, min_words=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # the banner occurs 4x >= 3 -> dropped everywhere; 'ok' < 4 words -> dropped
+    assert out[1]["text_clean"] == "unique first body line of doc one"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 1
+    assert out[2]["text_clean"] == "unique second body line of doc two"
+    assert out[4]["n_kept"] == 0 and out[4]["text_clean"] == ""
+
+
+def test_line_dedup_preserves_order(spark):
+    from entity_resolution_pipeline_spark.operators.curation import line_dedup
+
+    text = "\n".join(f"body line number {i} with several words" for i in range(10))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = line_dedup(docs, min_count=3, min_words=4).collect()[0]
+    assert out["text_clean"] == text and out["n_kept"] == 10

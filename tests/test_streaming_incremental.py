@@ -211,3 +211,53 @@ def test_stream_update_vocab_replay_idempotent(spark, tmp_path):
     got2 = {(r["word"], r["n"]) for r in stream_update_vocab(
         spark, delta, max_files_per_trigger=1, sink_dir=sink).collect()}
     assert got2 == want
+
+
+def test_stream_semantic_dedup_equals_batch_and_invariant(spark, tmp_path):
+    """The incremental SemDeDup stream equals a one-shot batch computation
+    of the same delta-vs-corpus rule — in one micro-batch AND split
+    file-at-a-time (a delta vector's flag is a pure function of corpus
+    state + its own row)."""
+    from entity_resolution_pipeline_spark.functions.similarity import cosine_col
+    from entity_resolution_pipeline_spark.operators.ann import (
+        assign_cells_with, ivf_assign_cells,
+    )
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_semantic_dedup,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_TINY, "embeddings.parquet"))
+    corpus = emb.where(F.col("vec_id") >= 15)
+    delta = emb.where(F.col("vec_id") < 15)
+
+    # one-shot batch reference of the stream contract
+    centroids, assigned = ivf_assign_cells(corpus, 4)
+    d = assign_cells_with(delta, centroids.collect())
+    hits = (
+        d.join(assigned.select("cell_id",
+                               F.col("embedding").alias("_cv")), "cell_id")
+        .where(F.round(cosine_col(F.col("embedding"), F.col("_cv")), 6)
+               >= 0.4)
+        .groupBy("vec_id").agg(F.count("*").alias("n"))
+    )
+    want = {(r["vec_id"], r["cell_id"], r["n"] or 0)
+            for r in d.join(hits, "vec_id", "left")
+            .select("vec_id", "cell_id", "n").collect()}
+    want = {(v, c, n, n == 0) for v, c, n in want}
+
+    one = str(tmp_path / "one")
+    delta.coalesce(1).write.parquet(one)
+    got1 = {tuple(r) for r in stream_semantic_dedup(
+        spark, one, corpus, n_cells=4, threshold=0.4,
+        sink_dir=str(tmp_path / "s1")).collect()}
+    assert got1 == want
+
+    many = str(tmp_path / "many")
+    delta.repartition(4).write.parquet(many)
+    got2 = {tuple(r) for r in stream_semantic_dedup(
+        spark, many, corpus, n_cells=4, threshold=0.4,
+        max_files_per_trigger=1,
+        sink_dir=str(tmp_path / "s2")).collect()}
+    assert got2 == want
+    # both flag states occur on the tiny fixture, or the test is vacuous
+    assert {k for *_, k in got1} == {True, False}
