@@ -518,24 +518,34 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
     keep/drop boundary cannot drift across float summation orders.
     """
     from .ann import ivf_assign_cells
-    from ..functions.similarity import cosine_col
 
     _, assigned = ivf_assign_cells(emb, n_cells, id_col, vec_col, seed)
-    # persist the assignment: it feeds BOTH self-join sides and the final
-    # labeled output — without it the (narrow but vector-width) centroid
-    # argmax runs three times over the corpus
-    base = assigned.select(F.col(id_col).alias("id"), "cell_id",
-                           F.col(vec_col).alias("v")) \
-                   .persist(StorageLevel.MEMORY_AND_DISK)
+    # persist the assignment WITH per-row double casts and norms: it feeds
+    # BOTH self-join sides and the final labeled output, and precomputing
+    # the norms here means pair verification is a SINGLE dot-product fold
+    # per pair instead of cosine_col's three (at Σ|cell|² pairs the
+    # interpreted HOF arithmetic dominates — same measured rationale as
+    # embedding_near_duplicates; the arithmetic and fold order are
+    # identical, so oracle doubles are unchanged bit-for-bit)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = assigned.select(
+        F.col(id_col).alias("id"), "cell_id", vd.alias("v"),
+        F.sqrt(F.aggregate(F.transform(vd, lambda x: x * x),
+                           F.lit(0.0), lambda acc, x: acc + x)).alias("nrm"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = base.select("cell_id", F.col("id").alias("id_a"),
-                    F.col("v").alias("v_a"))
+                    F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     b = base.select("cell_id", F.col("id").alias("id_b"),
-                    F.col("v").alias("v_b"))
+                    F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    dot = F.aggregate(F.zip_with(F.col("v_a"), F.col("v_b"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                 dot / (F.col("n_a") * F.col("n_b"))).otherwise(F.lit(0.0))
     dropped = (
         a.join(b, "cell_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6)
-               >= threshold)
+        .where(F.round(cos, 6) >= threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()
         .withColumn("_dropped", F.lit(True))

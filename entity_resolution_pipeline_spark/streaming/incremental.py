@@ -606,13 +606,23 @@ def stream_semantic_dedup(
     the same effectively-exactly-once contract as the other streams.
     """
     from ..operators.ann import assign_cells_with
-    from ..functions.similarity import cosine_col
 
     centroids, assigned = corpus_ann_state(corpus_vecs, n_cells,
                                            id_col, vec_col, seed)
     cent_rows = centroids.collect()
-    corpus_side = assigned.select(
-        "cell_id", F.col(vec_col).alias("_cv"))
+
+    def _with_norm(df, out_vec: str, out_nrm: str):
+        # double-cast + norm bound per row so pair verification is a
+        # single dot fold (same rationale as the batch semantic_dedup)
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return df.withColumn(out_vec, vd).withColumn(
+            out_nrm,
+            F.sqrt(F.aggregate(F.transform(F.col(out_vec),
+                                           lambda x: x * x),
+                               F.lit(0.0), lambda acc, x: acc + x)))
+
+    corpus_side = _with_norm(assigned, "_cv", "_cn") \
+        .select("cell_id", "_cv", "_cn")
 
     reader = spark.readStream.schema(EMB_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
@@ -629,11 +639,17 @@ def stream_semantic_dedup(
     out_dir = os.path.join(sink_dir, "flags")
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        d = assign_cells_with(batch, cent_rows, id_col, vec_col)
+        d = _with_norm(assign_cells_with(batch, cent_rows, id_col, vec_col),
+                       "_dv", "_dn")
+        dot = F.aggregate(F.zip_with(F.col("_dv"), F.col("_cv"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        cos = F.when((F.col("_dn") > 0) & (F.col("_cn") > 0),
+                     dot / (F.col("_dn") * F.col("_cn"))) \
+            .otherwise(F.lit(0.0))
         hits = (
             d.join(corpus_side, "cell_id")
-            .where(F.round(cosine_col(F.col(vec_col), F.col("_cv")), 6)
-                   >= threshold)
+            .where(F.round(cos, 6) >= threshold)
             .groupBy(id_col)
             .agg(F.count("*").alias("n_corpus_dups"))
         )
