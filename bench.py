@@ -49,7 +49,7 @@ BATTERY = [
     "remove_dup_spans", "curation_gate_extended", "ann_ivf_pq",
     "stream_strip_spans", "bm25_topk", "hybrid_rrf",
     "semantic_dedup", "fuzzy_decontaminate", "bpe_train",
-    "line_dedup", "stream_semantic_dedup",
+    "line_dedup", "stream_semantic_dedup", "corpus_diff",
 ]
 
 

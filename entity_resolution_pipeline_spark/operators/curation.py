@@ -868,3 +868,38 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot-over-snapshot corpus diff — the dataset-versioning audit a
+    release pipeline runs between corpus N and N+1: every id labeled
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both, text
+    content hash differs) or ``unchanged``. Returns (id, status,
+    old_hash, new_hash); hashes are md5 so any SQL engine reproduces the
+    comparison (no reference analog; LLM-pipeline extension).
+
+    100 TB shape: each side collapses to (id, md5) in ONE narrow map pass
+    — the diff join moves two 32-hex strings per row, never text — and a
+    single full-outer equi-join on id classifies everything. At equal
+    snapshot sizes the join shuffles both id columns once; for the daily
+    append-mostly case bucket both snapshot tables by id at write time
+    and the exchange disappears entirely.
+    """
+    from ..functions.textstats import content_hash_col
+
+    o = old.select(F.col(id_col).alias("id"),
+                   content_hash_col(F.col(text_col)).alias("old_hash"))
+    n = new.select(F.col(id_col).alias("id"),
+                   content_hash_col(F.col(text_col)).alias("new_hash"))
+    return (
+        o.join(n, "id", "full_outer")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("old_hash").isNull(), F.lit("added"))
+            .when(F.col("new_hash").isNull(), F.lit("removed"))
+            .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")).alias("status"),
+            "old_hash", "new_hash",
+        )
+    )

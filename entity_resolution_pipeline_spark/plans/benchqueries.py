@@ -4130,6 +4130,63 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """Model-based quality filtering (the GPT-3/LLaMA classifier stage):
+    the heuristic curation gate labels the even-id slice, a logistic
+    regression distills it from RAW native features (token/char ratios,
+    entropy, repetition fractions), and the fitted model scores EVERY
+    document as one broadcast dot product. Training is iterative LBFGS —
+    not SQL-expressible — so this row is registered WITHOUT an oracle per
+    the driver contract (rows-only check, like er_pipeline_clusters); the
+    quality gates are pytest: held-out agreement ≥ 0.85 and AUC ≥ 0.9 vs
+    the gate labels (measured 0.912 / 0.967 at sf0.01).
+    Library: operators/quality_model.py."""
+    from ..operators.quality_model import distill_curation_gate
+
+    return distill_curation_gate(_t_wide(spark, sf_dir, "documents"))
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot-over-snapshot corpus diff (dataset-versioning audit):
+    old = docs with doc_id % 5 != 0, new = docs with doc_id % 11 != 0 and
+    text revised ('<text> rev2') where doc_id % 7 == 0 — so all four
+    statuses (added / removed / changed / unchanged) genuinely occur.
+    Each side collapses to (id, md5) map-side; ONE full-outer id join
+    classifies everything, text never moves.
+    Library: operators/curation.py:corpus_diff."""
+    from ..operators.curation import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_diff(old, new)
+
+
+ORACLE_CORPUS_DIFF = """
+WITH o AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS old_hash
+  FROM documents WHERE doc_id % 5 <> 0
+), n AS (
+  SELECT doc_id,
+         md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                           ELSE text END, '')) AS new_hash
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.old_hash <> n.new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_hash, n.new_hash
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 LINE_WORDS = 8  # deterministic line synthesis: one line per 8 words
 
 
@@ -4368,6 +4425,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "line_dedup": q_line_dedup,
+    "corpus_diff": q_corpus_diff,
+    "quality_filter": q_quality_filter,
     # tokenizer induction (distributed BPE)
     "bpe_train": q_bpe_train,
     "bpe_segment": q_bpe_segment,
@@ -4531,6 +4590,7 @@ ORACLE_SQL = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "fuzzy_decontaminate": _oracle_fuzzy_decontaminate(4),
     "line_dedup": ORACLE_LINE_DEDUP,
+    "corpus_diff": ORACLE_CORPUS_DIFF,
     "semantic_dedup": _oracle_semantic_dedup(),
     "bpe_train": _oracle_bpe(BPE_MERGES, "train"),
     "bpe_segment": _oracle_bpe(BPE_MERGES, "segment"),

@@ -461,3 +461,41 @@ def test_line_dedup_preserves_order(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     out = line_dedup(docs, min_count=3, min_words=4).collect()[0]
     assert out["text_clean"] == text and out["n_kept"] == 10
+
+
+def test_quality_filter_distills_gate(spark):
+    """The distilled classifier must agree with the heuristic gate on the
+    HELD-OUT half (odd ids) well above chance: accuracy >= 0.85 and
+    AUC >= 0.9 — the 'train on a slice, deploy corpus-wide' contract."""
+    import bisect
+
+    from entity_resolution_pipeline_spark.operators.quality_model import (
+        distill_curation_gate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = distill_curation_gate(docs).collect()
+    assert len(rows) == docs.count()  # every document scored
+    held = [r for r in rows if r["doc_id"] % 2 == 1]
+    acc = sum(r["keep"] == r["gate_keep"] for r in held) / len(held)
+    assert acc >= 0.85, acc
+    pos = sorted(r["p_quality"] for r in held if r["gate_keep"])
+    neg = sorted(r["p_quality"] for r in held if not r["gate_keep"])
+    assert pos and neg  # both classes occur or the test is vacuous
+    auc = sum(
+        bisect.bisect_left(neg, p)
+        + 0.5 * (bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p))
+        for p in pos) / (len(pos) * len(neg))
+    assert auc >= 0.9, auc
+
+
+def test_corpus_diff_statuses(spark):
+    from entity_resolution_pipeline_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma CHANGED"), (4, "delta")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
