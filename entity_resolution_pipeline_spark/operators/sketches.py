@@ -1,0 +1,121 @@
+"""Deterministic bottom-k (KMV) sketches — distinct counting and
+cross-source overlap WITHOUT corpus-width state.
+
+At 100 TB you cannot afford exact distinct counts per slice (the exchange
+carries every distinct item), and you certainly cannot afford pairwise
+set intersections between corpus slices. The classic answer is a bottom-k
+/ KMV sketch (Bar-Yossef et al. 2002; the theta-sketch family): keep only
+the k SMALLEST hash values per group — O(k) state, mergeable as a monoid
+(union = merge + re-truncate), with
+
+* distinct estimate   n̂ = (k-1) / h_(k)   (h_(k) = k-th smallest hash
+  normalized to (0,1); exact when the group has fewer than k items), and
+* Jaccard estimate    Ĵ(A,B) = |X ∩ S_A ∩ S_B| / |X| where X is the
+  bottom-k of S_A ∪ S_B — the standard bottom-k set-similarity estimator
+  (each element of X is a uniform sample of A∪B; membership in both
+  sketches ⇔ membership in A∩B for sampled elements).
+
+Unlike Spark's HLL++ (`approx_count_distinct`, engine-private register
+layout), the KMV hash order is md5 — EXACTLY reproducible in any SQL
+engine — so these approximate operators still carry full-plan DuckDB
+oracles: the hash match verifies the sketch itself, not agreement with
+an exact count. No reference analog (LLM-pipeline extension): the
+production use is the corpus overlap matrix that drives mixture design
+(which sources duplicate each other) and per-slice vocabulary profiling.
+
+Scale shape: ONE distinct-(group, item) pass; per-group bottom-k via a
+rank window (rank ≤ k ⇒ WindowGroupLimit pushes a partial top-k below
+the exchange — the same shape as the PQ codebook draw); everything
+downstream touches only the O(groups × k) sketch table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5-prefix → uniform (0,1): 32-bit integer / 2^32 (0 is impossible for
+# a nonempty string only in theory — guarded by the (k-1)/h formula using
+# the k-th value, never 0 in practice; collisions at 2^-32 are the
+# sketch's documented noise floor)
+_HASH_DENOM = float(1 << 32)
+
+
+def _item_hash(item) -> F.Column:
+    return (F.conv(F.substring(F.md5(item), 1, 8), 16, 10)
+            .cast("double") / F.lit(_HASH_DENOM))
+
+
+def kmv_sketch_table(items: DataFrame, group_col: str, item_col: str,
+                     k: int = 64) -> DataFrame:
+    """(group, h) — the k smallest distinct item hashes per group, one row
+    per retained hash. The whole sketch state is O(groups × k)."""
+    hashed = items.select(
+        F.col(group_col).alias("grp"),
+        _item_hash(F.col(item_col)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("grp", "h", "_rn")
+    )
+
+
+def kmv_distinct(items: DataFrame, group_col: str, item_col: str,
+                 k: int = 64) -> DataFrame:
+    """Per-group distinct-count estimate: (group, n_est). Exact when the
+    group holds fewer than k items (the sketch isn't full); otherwise
+    (k-1)/h_(k). Rounded to 4dp so cross-engine double division can't
+    flip the hash."""
+    sk = kmv_sketch_table(items, group_col, item_col, k)
+    agg = sk.groupBy("grp").agg(
+        F.count("*").alias("n_in"),
+        F.max(F.when(F.col("_rn") == k, F.col("h"))).alias("hk"),
+    )
+    est = F.when(F.col("n_in") < k, F.col("n_in").cast("double")) \
+        .otherwise((F.lit(float(k - 1))) / F.col("hk"))
+    return agg.select(F.col("grp").alias(group_col),
+                      F.round(est, 4).alias("n_est"))
+
+
+def kmv_source_overlap(items: DataFrame, group_col: str, item_col: str,
+                       k: int = 64) -> DataFrame:
+    """Pairwise group Jaccard estimates from the sketches ALONE:
+    (group_a, group_b, jaccard_est) for every unordered group pair —
+    the corpus overlap matrix, O(groups² × k) work over O(groups × k)
+    state, the corpus itself read exactly once (by the sketch pass).
+
+    For each pair, X = bottom-k of the merged hash sets; Ĵ = fraction of
+    X present in BOTH sketches. Rounded to 4dp on both engines."""
+    sk = kmv_sketch_table(items, group_col, item_col, k)
+    groups = sk.select("grp").distinct()
+    pairs = (
+        groups.select(F.col("grp").alias("ga"))
+        .join(groups.select(F.col("grp").alias("gb")),
+              F.col("ga") < F.col("gb"))
+    )
+    # union row set: one row per (ga, gb, h) with membership flags
+    a = sk.select(F.col("grp").alias("ga"), "h")
+    b = sk.select(F.col("grp").alias("gb"), "h")
+    ua = pairs.join(a, "ga").select("ga", "gb", "h",
+                                    F.lit(1).alias("fa"), F.lit(0).alias("fb"))
+    ub = pairs.join(b, "gb").select("ga", "gb", "h",
+                                    F.lit(0).alias("fa"), F.lit(1).alias("fb"))
+    union = (
+        ua.unionByName(ub)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("fa").alias("in_a"), F.max("fb").alias("in_b"))
+    )
+    # tie-break on the flags too: if two distinct items collide on h at
+    # the k boundary (2^-32 noise floor), the row kept must be the same
+    # one in every engine
+    w = Window.partitionBy("ga", "gb").orderBy("h", "in_a", "in_b")
+    x = union.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return (
+        x.groupBy("ga", "gb")
+        .agg(F.round(F.sum(F.col("in_a") * F.col("in_b"))
+                     / F.count("*"), 4).alias("jaccard_est"))
+        .select(F.col("ga").alias(f"{group_col}_a"),
+                F.col("gb").alias(f"{group_col}_b"), "jaccard_est")
+    )

@@ -4130,6 +4130,105 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+SKETCH_K = 64
+
+
+def q_sketch_distinct(spark, sf_dir):
+    """Per-source distinct-shingle estimate from a bottom-k (KMV) sketch
+    — O(k) state per group instead of a distinct-width exchange; md5
+    hash order makes the APPROXIMATE estimator itself hash-checkable in
+    SQL (unlike HLL++'s engine-private registers).
+    Library: operators/sketches.py:kmv_distinct."""
+    from ..operators.sketches import kmv_distinct
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    items = docs.select(
+        "source",
+        F.explode(shingles_col(F.lower(F.col("text")), 3)).alias("shingle"))
+    return kmv_distinct(items, "source", "shingle", k=SKETCH_K)
+
+
+_SKETCH_HASHED = r"""
+  SELECT DISTINCT source AS grp,
+         CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS h
+  FROM (SELECT source, unnest(sh) AS shingle
+        FROM (SELECT source,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(toks) - 2),
+                                 i -> toks[i] || ' ' || toks[i + 1]
+                                      || ' ' || toks[i + 2]))
+                          WHEN len(toks) > 0
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE [] END AS sh
+              FROM (SELECT source,
+                           list_filter(string_split_regex(
+                             lower(coalesce(text, '')), '\s+'),
+                             x -> x <> '') AS toks
+                    FROM documents)))
+"""
+
+ORACLE_SKETCH_DISTINCT = f"""
+WITH hashed AS ({_SKETCH_HASHED}),
+sk AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hashed QUALIFY rn <= {SKETCH_K}
+), agg AS (
+  SELECT grp, COUNT(*) AS n_in,
+         MAX(CASE WHEN rn = {SKETCH_K} THEN h END) AS hk
+  FROM sk GROUP BY grp
+)
+SELECT grp AS source,
+       round(CASE WHEN n_in < {SKETCH_K} THEN CAST(n_in AS DOUBLE)
+                  ELSE {SKETCH_K - 1}.0 / hk END, 4) AS n_est
+FROM agg
+"""
+
+
+def q_sketch_source_overlap(spark, sf_dir):
+    """Corpus overlap matrix: pairwise source shingle-Jaccard estimated
+    from the bottom-k sketches ALONE (X = bottom-k of the merged hashes;
+    Ĵ = fraction of X in both sketches) — the mixture-design audit that
+    at 100 TB must never re-scan the corpus per pair. Full-plan oracle.
+    Library: operators/sketches.py:kmv_source_overlap."""
+    from ..operators.sketches import kmv_source_overlap
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    items = docs.select(
+        "source",
+        F.explode(shingles_col(F.lower(F.col("text")), 3)).alias("shingle"))
+    return kmv_source_overlap(items, "source", "shingle", k=SKETCH_K)
+
+
+ORACLE_SKETCH_OVERLAP = f"""
+WITH hashed AS ({_SKETCH_HASHED}),
+sk AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hashed QUALIFY rn <= {SKETCH_K}
+), g AS (SELECT DISTINCT grp FROM sk),
+pairs AS (
+  SELECT a.grp AS ga, b.grp AS gb FROM g a JOIN g b ON a.grp < b.grp
+), u AS (
+  SELECT ga, gb, h, MAX(fa) AS in_a, MAX(fb) AS in_b FROM (
+    SELECT p.ga, p.gb, s.h, 1 AS fa, 0 AS fb
+    FROM pairs p JOIN sk s ON s.grp = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h, 0 AS fa, 1 AS fb
+    FROM pairs p JOIN sk s ON s.grp = p.gb
+  ) GROUP BY ga, gb, h
+), x AS (
+  SELECT ga, gb, in_a, in_b,
+         row_number() OVER (PARTITION BY ga, gb
+                            ORDER BY h, in_a, in_b) AS rn
+  FROM u QUALIFY rn <= {SKETCH_K}
+)
+SELECT ga AS source_a, gb AS source_b,
+       round(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 4) AS jaccard_est
+FROM x GROUP BY ga, gb
+"""
+
+
 def q_quality_filter(spark, sf_dir):
     """Model-based quality filtering (the GPT-3/LLaMA classifier stage):
     the heuristic curation gate labels the even-id slice, a logistic
@@ -4427,6 +4526,9 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "corpus_diff": q_corpus_diff,
     "quality_filter": q_quality_filter,
+    # deterministic KMV sketches (distinct estimate + overlap matrix)
+    "sketch_distinct": q_sketch_distinct,
+    "sketch_source_overlap": q_sketch_source_overlap,
     # tokenizer induction (distributed BPE)
     "bpe_train": q_bpe_train,
     "bpe_segment": q_bpe_segment,
@@ -4591,6 +4693,8 @@ ORACLE_SQL = {
     "fuzzy_decontaminate": _oracle_fuzzy_decontaminate(4),
     "line_dedup": ORACLE_LINE_DEDUP,
     "corpus_diff": ORACLE_CORPUS_DIFF,
+    "sketch_distinct": ORACLE_SKETCH_DISTINCT,
+    "sketch_source_overlap": ORACLE_SKETCH_OVERLAP,
     "semantic_dedup": _oracle_semantic_dedup(),
     "bpe_train": _oracle_bpe(BPE_MERGES, "train"),
     "bpe_segment": _oracle_bpe(BPE_MERGES, "segment"),
