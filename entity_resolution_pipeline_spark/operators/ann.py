@@ -500,3 +500,93 @@ def _lloyd_iterations(unit: DataFrame, books, m: int, k_cent: int,
             new_books[r["m"] - 1][r["cid"] - 1][r["pos"]] = float(r["mu"])
         books = new_books
     return books
+
+
+# --- Scalar quantization (SQ8 storage path) -----------------------------------------
+
+
+def sq_train(vectors: DataFrame, vec_col: str = "embedding"
+             ) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) ranges — FAISS ScalarQuantizer training:
+    ONE aggregation over the corpus (posexplode → per-dim min/max),
+    collected as driver state like every other quantizer here."""
+    dims = (
+        vectors.select(F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min(F.col("x").cast("double")).alias("lo"),
+             F.max(F.col("x").cast("double")).alias("hi"))
+        .collect()
+    )
+    lo = [0.0] * len(dims)
+    hi = [0.0] * len(dims)
+    for r in dims:
+        lo[r["d"]] = float(r["lo"])
+        hi[r["d"]] = float(r["hi"])
+    return lo, hi
+
+
+def _sq_code(x, lo: float, hi: float) -> F.Column:
+    """x → 0..255 via floor((x-lo)/(hi-lo)*256), clamped — floor (not
+    round) because floor semantics are identical in every SQL engine,
+    while .5-boundary rounding modes differ."""
+    if hi <= lo:
+        return F.lit(0)
+    scaled = (x.cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(256.0)
+    return F.least(F.lit(255), F.greatest(F.lit(0),
+                                          F.floor(scaled).cast("int")))
+
+
+def sq_encode(vectors: DataFrame, lo: list[float], hi: list[float],
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> DataFrame:
+    """(id, codes array<int 0..255>) — one narrow projection; at 10^12
+    vectors this is the 4× storage-compression pass (int8 vs float32),
+    the FAISS IndexScalarQuantizer encode."""
+    codes = F.array(*[
+        _sq_code(F.element_at(F.col(vec_col), d + 1), lo[d], hi[d])
+        for d in range(len(lo))
+    ])
+    return vectors.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq_decode_expr(codes, lo: list[float], hi: list[float]) -> F.Column:
+    """codes → reconstructed double vector: lo + (c + 0.5)/256 * (hi-lo)
+    (bucket midpoint — the standard SQ reconstruction)."""
+    return F.array(*[
+        (F.lit(lo[d])
+         + (F.element_at(codes, d + 1).cast("double") + F.lit(0.5))
+         / F.lit(256.0) * F.lit(hi[d] - lo[d]))
+        for d in range(len(lo))
+    ])
+
+
+def sq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id",
+            state: tuple[list[float], list[float]] | None = None
+            ) -> DataFrame:
+    """Cosine top-k over the SQ8-RECONSTRUCTED corpus (queries stay
+    full-precision — the asymmetric convention): the corpus side carries
+    only int codes through the scan, vectors are reconstructed on the
+    fly from the driver-state ranges. Same broadcast-queries / one-
+    corpus-pass shape as brute_force_topk; the precision loss is the
+    price of 4× smaller corpus storage (recall floor pytest-pinned)."""
+    from ..functions.similarity import cosine_col
+
+    lo, hi = state if state is not None else sq_train(corpus, vec_col)
+    codes = sq_encode(corpus, lo, hi, id_col, vec_col)
+    recon = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq_decode_expr(F.col("codes"), lo, hi).alias("c_vec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    joined = recon.crossJoin(F.broadcast(q)) \
+                  .where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")) \
+                 .where(F.col("rank") <= k)

@@ -4130,6 +4130,60 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_ann_sq(spark, sf_dir):
+    """Scalar-quantized (SQ8) similarity search — the 4× embedding-storage
+    compression path (FAISS IndexScalarQuantizer): per-dimension min/max
+    ranges trained in ONE aggregation (driver state), corpus encoded to
+    int codes by a narrow floor-quantization projection, search runs over
+    the midpoint-reconstructed vectors with full-precision queries (the
+    asymmetric convention). The oracle replicates the ENTIRE plan —
+    range training, clamped floor encode, midpoint decode, cosine top-k —
+    so the hash match verifies the quantization itself.
+    Library: operators/ann.py:sq_train/sq_encode/sq_topk."""
+    from ..operators.ann import sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sq_topk(emb, queries, k=5)
+
+
+def _oracle_ann_sq() -> str:
+    cos_qc = _IVF_COS.format(a="q.e", b="r.c_vec")
+    code = ("CASE WHEN rg.his[d] <= rg.los[d] THEN 0 "
+            "ELSE least(255, greatest(0, CAST(floor("
+            "(v.e[d] - rg.los[d]) / (rg.his[d] - rg.los[d]) * 256.0) "
+            "AS INT))) END")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), dims AS (
+  SELECT d, MIN(e[d]) AS lo, MAX(e[d]) AS hi
+  FROM (SELECT e, unnest(generate_series(1, len(e))) AS d FROM v)
+  GROUP BY d
+), rg AS (
+  SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM dims
+), r AS (
+  SELECT v.vec_id AS neighbor_id,
+         list_transform(generate_series(1, len(v.e)), d ->
+           rg.los[d] + ({code} + 0.5) / 256.0 * (rg.his[d] - rg.los[d]))
+           AS c_vec
+  FROM v CROSS JOIN rg
+), q AS (
+  SELECT vec_id AS query_id, e FROM v WHERE vec_id < 20
+), scored AS (
+  SELECT q.query_id, r.neighbor_id, round({cos_qc}, 6) AS cosine
+  FROM r CROSS JOIN q WHERE q.query_id <> r.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 SKETCH_K = 64
 
 
@@ -4547,6 +4601,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
     "ann_ivf_pq": q_ann_ivf_pq,
+    "ann_sq": q_ann_sq,
     # retrieval (lexical + hybrid fusion)
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
@@ -4646,6 +4701,7 @@ ORACLE_SQL = {
     "ann_ivf": _oracle_ann_ivf(),
     "ann_pq": ORACLE_ANN_PQ,
     "ann_ivf_pq": _oracle_ann_ivf_pq(),
+    "ann_sq": _oracle_ann_sq(),
     "bm25_topk": ORACLE_BM25_TOPK,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "corpus_mix_temperature": ORACLE_CORPUS_MIX,

@@ -284,3 +284,36 @@ def test_winnow_pairs_recall_vs_lsh(spark, corpus):
           for r in winnow_candidate_pairs(corpus).collect()}
     assert strong, "fixture has no strong near-dups"
     assert strong <= wp, strong - wp
+
+
+def test_sq_topk_recall_and_reconstruction(spark):
+    """SQ8 search must track exact brute force closely (8-bit per-dim
+    loss is small): recall@5 >= 0.85 on the synthetic embeddings, and
+    the reconstruction error per dimension is bounded by one bucket
+    width (range/256)."""
+    from entity_resolution_pipeline_spark.operators.ann import (
+        sq_decode_expr, sq_encode, sq_topk, sq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=5)
+    got = sq_topk(emb, queries, k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    gt = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    recall = len(ex & gt) / len(ex)
+    assert recall >= 0.85, recall
+
+    lo, hi = sq_train(emb)
+    codes = sq_encode(emb, lo, hi)
+    recon = codes.select("vec_id", sq_decode_expr(F.col("codes"), lo, hi)
+                         .alias("r"))
+    joined = emb.join(recon, "vec_id").select(
+        F.max(F.aggregate(
+            F.zip_with(F.col("embedding"), F.col("r"),
+                       lambda x, y: F.abs(x.cast("double") - y)),
+            F.lit(0.0), lambda a, x: F.greatest(a, x))).alias("max_err")
+    ).collect()[0]["max_err"]
+    bucket = max((h - l) for l, h in zip(lo, hi)) / 256.0
+    assert joined <= bucket + 1e-9, (joined, bucket)
