@@ -208,11 +208,10 @@ def test_corpus_diff_moves_hashes_not_text(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(corpus_diff(docs, docs.selectExpr(
         "doc_id", "concat(text, ' rev') AS text")))
-    m = __import__("re").search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
-    assert m, plan
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                     plan), plan
     # md5 is computed in projections feeding the join; the join keys are
     # ids and the shuffled columns are the 32-hex hashes
-    join_tail = plan[m.start():]
     assert "old_hash" in plan and "new_hash" in plan
 
 

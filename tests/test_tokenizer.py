@@ -164,12 +164,12 @@ def test_fuzzy_decontamination_catches_embedded_eval(spark):
 
 def test_fuzzy_decontamination_misses_nothing_on_self(spark):
     # every eval doc, used as its own training corpus, must flag itself
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
-        .limit(20)
-    out = fuzzy_rows = None
     from entity_resolution_pipeline_spark.operators.dedup import (
         fuzzy_contamination_flags,
     )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(20)
     fuzzy_rows = fuzzy_contamination_flags(
         docs, docs, k=3, n_bands=4, threshold=0.99).collect()
     out = [r for r in fuzzy_rows if not r["contaminated"]]
