@@ -590,3 +590,61 @@ def sq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                                F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("int")) \
                  .where(F.col("rank") <= k)
+
+
+def ivf_sq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                n_cells: int = 8, n_probe: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id", seed: int = 42,
+                state=None) -> DataFrame:
+    """IVF + SQ8 — FAISS IndexIVFScalarQuantizer, the OTHER production
+    composition next to IVFPQ: the coarse quantizer prunes the scan to
+    ``n_probe`` cells, and within cells the corpus is stored as int8
+    codes (4× smaller) reconstructed on the fly; queries stay full
+    precision (asymmetric). Both quantizers are driver state; the search
+    join ships (id, cell_id, codes) only and shuffles on cell_id — each
+    query touches n_probe/n_cells of an already-4×-compressed corpus.
+
+    ``state`` passes a prebuilt ((centroids, assigned), (lo, hi)) pair
+    for incremental probing. Returns (query_id, neighbor_id, cosine,
+    rank) — directly comparable to ivf_topk's exact in-cell ranking.
+    """
+    from ..functions.similarity import cosine_col
+
+    if state is not None:
+        (centroids, assigned), (lo, hi) = state
+    else:
+        centroids, assigned = ivf_assign_cells(corpus, n_cells, id_col,
+                                               vec_col, seed)
+        lo, hi = sq_train(corpus, vec_col)
+    codes = F.array(*[
+        _sq_code(F.element_at(F.col(vec_col), d + 1), lo[d], hi[d])
+        for d in range(len(lo))
+    ])
+    enc = assigned.select(F.col(id_col).alias("neighbor_id"), "cell_id",
+                          codes.alias("codes"))
+    recon = enc.select(
+        "neighbor_id", "cell_id",
+        sq_decode_expr(F.col("codes"), lo, hi).alias("c_vec"))
+
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    qc = q.crossJoin(F.broadcast(centroids))
+    sim = cosine_col(F.col("q_vec"), F.col("centroid"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(sim), F.asc("cell_id"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "q_vec", "cell_id")
+    )
+    joined = recon.join(probes, "cell_id") \
+                  .where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
+        .alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w2).cast("int")) \
+                 .where(F.col("rank") <= k)

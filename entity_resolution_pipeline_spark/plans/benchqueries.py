@@ -4184,6 +4184,79 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def q_ann_ivf_sq(spark, sf_dir):
+    """IVF + SQ8 (FAISS IndexIVFScalarQuantizer): coarse cells prune the
+    scan (n_cells=8, n_probe=2) and within cells the corpus is int8
+    codes reconstructed on the fly — the other production ANN
+    composition next to IVFPQ. The oracle replicates the ENTIRE composed
+    plan: centroid draw, cell assignment, range training, clamped floor
+    encode, midpoint decode, probe selection, in-cell cosine ranking.
+    Library: operators/ann.py:ivf_sq_topk."""
+    from ..operators.ann import ivf_sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_sq_topk(emb, queries, k=5, n_cells=8, n_probe=2)
+
+
+def _oracle_ann_ivf_sq() -> str:
+    cos_ac = _IVF_COS.format(a="v.e", b="cn.c")
+    cos_qc = _IVF_COS.format(a="q.qv", b="cn.c")
+    cos_qr = _IVF_COS.format(a="p.qv", b="r.c_vec")
+    code = ("CASE WHEN rg.his[d] <= rg.los[d] THEN 0 "
+            "ELSE least(255, greatest(0, CAST(floor("
+            "(a.e[d] - rg.los[d]) / (rg.his[d] - rg.los[d]) * 256.0) "
+            "AS INT))) END")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY _h) AS INT) AS cell_id, e AS c
+  FROM (SELECT e, md5(CAST(vec_id AS VARCHAR) || ':42') AS _h
+        FROM v ORDER BY _h LIMIT 8)
+), asg AS (
+  SELECT v.vec_id, v.e, cn.cell_id,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY {cos_ac} DESC, cn.cell_id ASC) AS rn
+  FROM v CROSS JOIN cent cn
+), cells AS (
+  SELECT vec_id, e, cell_id FROM asg WHERE rn = 1
+), dims AS (
+  SELECT d, MIN(e[d]) AS lo, MAX(e[d]) AS hi
+  FROM (SELECT e, unnest(generate_series(1, len(e))) AS d FROM v)
+  GROUP BY d
+), rg AS (
+  SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM dims
+), r AS (
+  SELECT a.vec_id AS neighbor_id, a.cell_id,
+         list_transform(generate_series(1, len(a.e)), d ->
+           rg.los[d] + ({code} + 0.5) / 256.0 * (rg.his[d] - rg.los[d]))
+           AS c_vec
+  FROM cells a CROSS JOIN rg
+), q AS (
+  SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 20
+), pr AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.query_id, q.qv, cn.cell_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos_qc} DESC, cn.cell_id ASC) AS rn
+    FROM q CROSS JOIN cent cn) WHERE rn <= 2
+), cand AS (
+  SELECT DISTINCT p.query_id, r.neighbor_id,
+         round({cos_qr}, 6) AS cosine
+  FROM r JOIN pr p USING (cell_id)
+  WHERE p.query_id <> r.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM cand) WHERE rank <= 5
+"""
+
+
 SKETCH_K = 64
 
 
@@ -4602,6 +4675,7 @@ QUERIES = {
     "ann_pq": q_ann_pq,
     "ann_ivf_pq": q_ann_ivf_pq,
     "ann_sq": q_ann_sq,
+    "ann_ivf_sq": q_ann_ivf_sq,
     # retrieval (lexical + hybrid fusion)
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
@@ -4702,6 +4776,7 @@ ORACLE_SQL = {
     "ann_pq": ORACLE_ANN_PQ,
     "ann_ivf_pq": _oracle_ann_ivf_pq(),
     "ann_sq": _oracle_ann_sq(),
+    "ann_ivf_sq": _oracle_ann_ivf_sq(),
     "bm25_topk": ORACLE_BM25_TOPK,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "corpus_mix_temperature": ORACLE_CORPUS_MIX,

@@ -317,3 +317,20 @@ def test_sq_topk_recall_and_reconstruction(spark):
     ).collect()[0]["max_err"]
     bucket = max((h - l) for l, h in zip(lo, hi)) / 256.0
     assert joined <= bucket + 1e-9, (joined, bucket)
+
+
+def test_ivf_sq_tracks_exact_ivf(spark):
+    """IVF+SQ8 must rank almost exactly like the full-precision IVF at
+    the same probe budget (8-bit in-cell loss is small): recall@5 >= 0.9
+    against ivf_topk's results."""
+    from entity_resolution_pipeline_spark.operators.ann import ivf_sq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in
+           ivf_sq_topk(emb, queries, k=5, n_cells=8, n_probe=2).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, recall
