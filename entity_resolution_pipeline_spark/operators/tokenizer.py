@@ -174,3 +174,64 @@ def bpe_token_stats(docs: DataFrame, n_merges: int = 8,
     )
     out._erps_persisted = [vocab]
     return out
+
+
+def save_tokenizer(path: str, merges: list[tuple] | DataFrame) -> None:
+    """Persist the merge table as a JSON artifact (S12-style, the
+    tokenizer.json analog): the merge list IS the whole tokenizer —
+    tiny driver state, readable by any runtime."""
+    import json
+    import os
+
+    if isinstance(merges, DataFrame):
+        merges = [tuple(r) for r in merges.orderBy("rank").collect()]
+    os.makedirs(path, exist_ok=True)
+    doc = {"version": 1, "algorithm": "bpe-words-chars",
+           "merges": [{"rank": int(rk), "left": l, "right": r,
+                       "merged": m, "pair_count": int(n)}
+                      for rk, l, r, m, n in merges]}
+    with open(os.path.join(path, "tokenizer.json"), "w") as f:
+        json.dump(doc, f, sort_keys=True)
+
+
+def load_tokenizer(path: str) -> list[tuple]:
+    """Load the merge list back: [(rank, left, right, merged, count)]."""
+    import json
+    import os
+
+    with open(os.path.join(path, "tokenizer.json")) as f:
+        doc = json.load(f)
+    return [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in sorted(doc["merges"], key=lambda m: m["rank"])]
+
+
+def bpe_segment_with(docs: DataFrame, merges: list[tuple],
+                     id_col: str = "doc_id", text_col: str = "text",
+                     group_col: str = "source") -> DataFrame:
+    """Apply a LOADED merge table to a new corpus (no retraining): derive
+    the corpus's word table, replay the merges in rank order as chained
+    narrow folds over it (vocab-sized work, ~n_merges expression depth),
+    then dictionary-join exactly like :func:`bpe_token_stats`. This is
+    the production inference path: the tokenizer artifact travels, the
+    corpus is never re-counted for training."""
+    vocab = _word_counts(docs, text_col) \
+        .select("word", "wc", _char_seq(F.col("word")).alias("seq"))
+    seq = F.col("seq")
+    for _rk, l, r, m, _n in merges:
+        seq = _apply_merge(seq, l, r, m)
+    sizes = vocab.select("word", F.size(seq).alias("n_sub"))
+    words = docs.select(
+        F.col(group_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                             r"\s+"),
+                     lambda t: t != "")).alias("word"))
+    return (
+        words.join(sizes, "word")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+            F.round(F.avg("n_sub"), 6).alias("avg_tokens_per_word"),
+        )
+    )

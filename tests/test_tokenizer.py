@@ -174,3 +174,42 @@ def test_fuzzy_decontamination_misses_nothing_on_self(spark):
         docs, docs, k=3, n_bands=4, threshold=0.99).collect()
     out = [r for r in fuzzy_rows if not r["contaminated"]]
     assert out == []
+
+
+def test_tokenizer_artifact_roundtrip(spark, tmp_path):
+    """save -> load -> apply to a NEW corpus reproduces the counts the
+    in-session vocab state gives; the artifact is the whole tokenizer."""
+    from entity_resolution_pipeline_spark.operators.tokenizer import (
+        bpe_segment_with, load_tokenizer, save_tokenizer,
+    )
+
+    train_df = spark.createDataFrame(
+        [(i, t, f"s{i % 2}") for i, t in enumerate(CORPUS)],
+        "doc_id long, text string, source string")
+    merges_df = bpe_train(train_df, n_merges=6)
+    save_tokenizer(str(tmp_path / "tok"), merges_df)
+    merges = load_tokenizer(str(tmp_path / "tok"))
+    assert merges == [tuple(r) for r in merges_df.collect()]
+
+    new_docs = spark.createDataFrame(
+        [(1, "lowest newest bananas low", "x")],
+        "doc_id long, text string, source string")
+    got = {r["source"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in bpe_segment_with(new_docs, merges).collect()}
+    _, vocab = _ref_bpe(CORPUS, 6)
+
+    # apply the reference merges to the new words scalar-side
+    def seg(word):
+        s = list(word)
+        for _rk, l, r, m, _n in merges:
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            s = out
+        return s
+
+    ws = "lowest newest bananas low".split()
+    assert got == {"x": (len(ws), sum(len(seg(w)) for w in ws))}
