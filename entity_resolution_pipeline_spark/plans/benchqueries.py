@@ -4416,17 +4416,11 @@ FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 LINE_WORDS = 8  # deterministic line synthesis: one line per 8 words
 
 
-def q_line_dedup(spark, sf_dir):
-    """C4-style line-level boilerplate removal: drop every line occurring
-    ≥3 times corpus-wide or shorter than 4 words, reassemble the
-    survivors in order. The synthetic docs are single-line, so the row
-    first synthesizes deterministic line structure (one line per 8
-    lowercase words — same fixture discipline as the media rows'
-    byte-assembly); the planted near-dup docs then share EXACT lines, so
-    both rules genuinely fire (~194 line occurrences sit in ≥3 groups at
-    sf0.01). Library: operators/curation.py:line_dedup."""
-    from ..operators.curation import line_dedup
-
+def _structured_line_docs(spark, sf_dir) -> DataFrame:
+    """Deterministic line synthesis for the line-dedup rows: the synthetic
+    docs are single-line, so one line per 8 lowercase words (same fixture
+    discipline as the media rows' byte-assembly); the planted near-dup
+    docs then share EXACT lines, so the frequency rule genuinely fires."""
     docs = _t_wide(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
                             r"\s+"), lambda t: t != "")
@@ -4438,12 +4432,46 @@ def q_line_dedup(spark, sf_dir):
             " ", F.slice("_toks", (i - F.lit(1)) * LINE_WORDS + F.lit(1),
                          F.lit(LINE_WORDS))),
     )
-    structured = inner.select(
+    return inner.select(
         "doc_id",
         F.when(n > 0, F.array_join(lines, "\n")).otherwise(F.lit(""))
         .alias("text"),
     )
-    return line_dedup(structured, min_count=3, min_words=4)
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style line-level boilerplate removal: drop every line occurring
+    ≥3 times corpus-wide or shorter than 4 words, reassemble the
+    survivors in order (~194 line occurrences sit in ≥3 groups at
+    sf0.01, so the rules genuinely fire).
+    Library: operators/curation.py:line_dedup."""
+    from ..operators.curation import line_dedup
+
+    return line_dedup(_structured_line_docs(spark, sf_dir),
+                      min_count=3, min_words=4)
+
+
+def q_stream_line_dedup(spark, sf_dir):
+    """Ingest-time C4 line dedup as a foreachBatch stream
+    (streaming/incremental.py:stream_line_dedup): the corpus
+    (doc_id % 13 != 0) is line-counted ONCE into static persisted
+    frequent-line state; new documents (doc_id % 13 == 0) stream in and
+    are scrubbed of corpus boilerplate per micro-batch with one
+    anti-join. Frequency is judged on the CORPUS alone, so the result is
+    batching-invariant and the FULL-plan oracle replicates the split:
+    corpus-side frequency CTE, delta-side scrub + ordered reassembly."""
+    from ..streaming.incremental import _tmp_sink_dir, stream_line_dedup
+
+    structured = _structured_line_docs(spark, sf_dir)
+    corpus = structured.where(F.col("doc_id") % 13 != 0)
+    delta = structured.where(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("synth").alias("source"),
+        F.length("text").cast("long").alias("n_chars"))
+    d = _tmp_sink_dir("inc_lineq_")  # atexit-cleaned, like the stream sinks
+    delta.coalesce(1).write.mode("overwrite").parquet(d)
+    return stream_line_dedup(spark, d, corpus, min_count=3, min_words=4,
+                             timeout_s=240)
 
 
 ORACLE_LINE_DEDUP = rf"""
@@ -4480,6 +4508,51 @@ WITH t AS (
   FROM kept GROUP BY doc_id
 ), totals AS (
   SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(r.text_clean, '') AS text_clean
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+ORACLE_STREAM_LINE_DEDUP = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), structured AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           array_to_string(list_transform(
+             generate_series(1, CAST(ceil(len(toks) / {LINE_WORDS}.0) AS INT)),
+             i -> array_to_string(
+               list_slice(toks, (i - 1) * {LINE_WORDS} + 1,
+                          i * {LINE_WORDS}), ' ')), chr(10))
+         ELSE '' END AS text
+  FROM t
+), lines AS (
+  SELECT doc_id, i - 1 AS pos, ls[i] AS ln
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+               unnest(generate_series(1, len(string_split(text, chr(10)))))
+                 AS i
+        FROM structured)
+), freq AS (
+  SELECT ln FROM lines WHERE doc_id % 13 <> 0
+  GROUP BY ln HAVING COUNT(*) >= 3
+), delta AS (
+  SELECT * FROM lines WHERE doc_id % 13 = 0
+), kept AS (
+  SELECT l.doc_id, l.pos, l.ln
+  FROM delta l ANTI JOIN freq f ON l.ln = f.ln
+  WHERE len(list_filter(string_split_regex(l.ln, '\s+'), x -> x <> '')) >= 4
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         array_to_string(list(ln ORDER BY pos), chr(10)) AS text_clean
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM delta GROUP BY doc_id
 )
 SELECT t.doc_id, t.n_lines,
        CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
@@ -4629,6 +4702,7 @@ QUERIES = {
     "stream_strip_spans": q_stream_strip_spans,
     "stream_bm25": q_stream_bm25,
     "stream_semantic_dedup": q_stream_semantic_dedup,
+    "stream_line_dedup": q_stream_line_dedup,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
     "corpus_curation": q_corpus_curation,
@@ -4847,5 +4921,6 @@ ORACLE_SQL = {
     "stream_strip_spans": ORACLE_STREAM_STRIP_SPANS,
     "stream_bm25": ORACLE_BM25_TOPK,
     "stream_semantic_dedup": _oracle_stream_semantic_dedup(),
+    "stream_line_dedup": ORACLE_STREAM_LINE_DEDUP,
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

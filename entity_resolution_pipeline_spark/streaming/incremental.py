@@ -681,6 +681,108 @@ def stream_semantic_dedup(
         .select(id_col, "cell_id", "n_corpus_dups", "is_keeper")
 
 
+def stream_line_dedup(
+    spark: SparkSession,
+    delta_path: str,
+    corpus_docs: DataFrame,
+    min_count: int = 3,
+    min_words: int = 4,
+    line_sep: str = "\n",
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Incremental C4 line dedup: newly landed documents stream against
+    the STATIC frequent-line set of the corpus (lines occurring
+    ``min_count``+ times corpus-wide — nav bars, cookie banners) and are
+    scrubbed of corpus boilerplate plus their own short lines. The
+    ingest-time shape of operators/curation.line_dedup: the corpus is
+    line-counted ONCE into persisted state; each micro-batch pays one
+    anti-join against it (O(|delta lines|)).
+
+    Contract: frequency is judged on the CORPUS alone — delta lines do
+    not count toward it (intra-delta frequencies would depend on how the
+    delta splits into micro-batches), so a document's output is a pure
+    function of (corpus state, its own row): batching-invariant, equal
+    to the one-shot batch computation (pytest-asserted single-batch AND
+    file-at-a-time). Same checkpoint + batch=<id> overwrite sinks.
+    Output per delta doc: (doc_id, n_lines, n_kept, text_clean).
+    """
+    frequent = (
+        corpus_docs.select(
+            F.explode(F.split(F.coalesce(F.col("text"), F.lit("")),
+                              line_sep)).alias("line"))
+        .groupBy("line").agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("line")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frequent.count()
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(delta_path):
+        parent, fname = os.path.split(delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(delta_path)
+
+    if sink_dir is None:
+        sink_dir = _tmp_sink_dir("inc_linededup_sink_")
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "clean")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        lines = batch.select(
+            F.col("doc_id").alias("id"),
+            F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")),
+                                 line_sep)).alias("pos", "line"),
+        )
+        kept = (
+            lines
+            .where(F.size(F.filter(F.split(F.col("line"), r"\s+"),
+                                   lambda t: t != "")) >= min_words)
+            .join(frequent, "line", "left_anti")
+        )
+        rebuilt = kept.groupBy("id").agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias("text_clean"),
+        )
+        totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+        out = (
+            totals.join(rebuilt, "id", "left")
+            .select(
+                F.col("id").alias("doc_id"), "n_lines",
+                F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+                .alias("n_kept"),
+                F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, timeout_s, "incremental line dedup", persisted=(frequent,))
+    if not os.path.isdir(out_dir):  # empty delta: no batch ever fired
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_lines bigint, n_kept bigint, "
+                "text_clean string")
+    return spark.read.option("basePath", out_dir).parquet(out_dir) \
+        .select("doc_id", "n_lines", "n_kept", "text_clean")
+
+
 # --- incremental span removal: delta docs stripped of corpus boilerplate -----
 
 

@@ -261,3 +261,57 @@ def test_stream_semantic_dedup_equals_batch_and_invariant(spark, tmp_path):
     assert got2 == want
     # both flag states occur on the tiny fixture, or the test is vacuous
     assert {k for *_, k in got1} == {True, False}
+
+
+def test_stream_line_dedup_equals_batch_and_invariant(spark, tmp_path):
+    """The incremental line-dedup stream equals a one-shot batch
+    computation of the same delta-vs-corpus rule, single-batch AND
+    file-at-a-time (corpus-only frequency makes the output a pure
+    function of corpus state + the row)."""
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_line_dedup,
+    )
+
+    banner = "all rights reserved copyright two thousand"
+    rows = []
+    for i in range(12):
+        body = f"unique body line number {i} with several extra words"
+        rows.append((i, f"{banner}\n{body}\nok", "en", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    delta = docs.where(F.col("doc_id") % 3 == 0)
+
+    # one-shot reference of the stream contract
+    freq = (
+        corpus.select(F.explode(F.split("text", "\n")).alias("line"))
+        .groupBy("line").count().where(F.col("count") >= 3).select("line")
+    )
+    lines = delta.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line"))
+    kept = lines.where(
+        F.size(F.filter(F.split("line", r"\s+"), lambda t: t != "")) >= 4
+    ).join(freq, "line", "left_anti")
+    want = {}
+    for r in kept.collect():
+        want.setdefault(r["doc_id"], []).append((r["pos"], r["line"]))
+    want = {d: "\n".join(l for _, l in sorted(v)) for d, v in want.items()}
+
+    one = str(tmp_path / "one")
+    delta.coalesce(1).write.parquet(one)
+    got1 = {r["doc_id"]: r for r in stream_line_dedup(
+        spark, one, corpus, min_count=3, min_words=4,
+        sink_dir=str(tmp_path / "s1")).collect()}
+    assert {d: r["text_clean"] for d, r in got1.items()} == want
+    # the banner (3+ corpus occurrences) dropped, 'ok' dropped, body kept
+    assert all(r["n_lines"] == 3 and r["n_kept"] == 1
+               for r in got1.values())
+
+    many = str(tmp_path / "many")
+    delta.repartition(3).write.parquet(many)
+    got2 = {r["doc_id"]: tuple(r) for r in stream_line_dedup(
+        spark, many, corpus, min_count=3, min_words=4,
+        max_files_per_trigger=1,
+        sink_dir=str(tmp_path / "s2")).collect()}
+    assert got2 == {d: tuple(r) for d, r in got1.items()}
