@@ -119,3 +119,20 @@ def kmv_source_overlap(items: DataFrame, group_col: str, item_col: str,
         .select(F.col("ga").alias(f"{group_col}_a"),
                 F.col("gb").alias(f"{group_col}_b"), "jaccard_est")
     )
+
+
+def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge sketch tables (grp, h[, _rn]) built over SLICES of a corpus
+    into the sketch of the union: distinct + re-truncate to the k
+    smallest per group — the monoid property that lets 1000 executors
+    sketch their partitions independently and combine at O(k) per group
+    (also how daily snapshot sketches roll up without re-reading
+    history). Output matches :func:`kmv_sketch_table` over the unioned
+    input exactly (pytest-pinned)."""
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        sketches.select("grp", "h").distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("grp", "h", "_rn")
+    )

@@ -74,3 +74,23 @@ def test_kmv_repartition_invariant(spark):
                kmv_distinct(items.repartition(13), "source", "shingle",
                             k=64).collect())
     assert a == b
+
+
+def test_kmv_merge_is_a_monoid(spark):
+    """Sketching two disjoint corpus slices independently and merging
+    must equal sketching the whole corpus — the property distributed
+    roll-ups rely on."""
+    from entity_resolution_pipeline_spark.operators.sketches import (
+        kmv_merge, kmv_sketch_table,
+    )
+
+    items = _items(spark)
+    whole = {tuple(r) for r in
+             kmv_sketch_table(items, "source", "shingle", k=32).collect()}
+    s1 = kmv_sketch_table(items.where(F.length("shingle") % 2 == 0),
+                          "source", "shingle", k=32)
+    s2 = kmv_sketch_table(items.where(F.length("shingle") % 2 == 1),
+                          "source", "shingle", k=32)
+    merged = {tuple(r) for r in
+              kmv_merge(s1.unionByName(s2), k=32).collect()}
+    assert merged == whole
