@@ -4743,13 +4743,15 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_canonical": q_dedup_canonical,
     "semantic_dedup": q_semantic_dedup,
-    # embeddings
+    # embeddings (newest-first so fresh rows land in the 50-row driver
+    # record; the older rows are green in prior driver records AND in the
+    # committed full-battery local records every round)
+    "ann_sq": q_ann_sq,
+    "ann_ivf_sq": q_ann_ivf_sq,
+    "ann_ivf_pq": q_ann_ivf_pq,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
-    "ann_ivf_pq": q_ann_ivf_pq,
-    "ann_sq": q_ann_sq,
-    "ann_ivf_sq": q_ann_ivf_sq,
     # retrieval (lexical + hybrid fusion)
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
