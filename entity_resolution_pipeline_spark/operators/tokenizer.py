@@ -33,6 +33,8 @@ string parity).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -207,19 +209,16 @@ def load_tokenizer(path: str) -> list[tuple]:
 
 def bpe_segment_with(docs: DataFrame, merges: list[tuple],
                      id_col: str = "doc_id", text_col: str = "text",
-                     group_col: str = "source") -> DataFrame:
+                     group_col: str = "source",
+                     engine: str = "auto") -> DataFrame:
     """Apply a LOADED merge table to a new corpus (no retraining): derive
-    the corpus's word table, replay the merges in rank order as chained
-    narrow folds over it (vocab-sized work, ~n_merges expression depth),
-    then dictionary-join exactly like :func:`bpe_token_stats`. This is
-    the production inference path: the tokenizer artifact travels, the
-    corpus is never re-counted for training."""
-    vocab = _word_counts(docs, text_col) \
-        .select("word", "wc", _char_seq(F.col("word")).alias("seq"))
-    seq = F.col("seq")
-    for _rk, l, r, m, _n in merges:
-        seq = _apply_merge(seq, l, r, m)
-    sizes = vocab.select("word", F.size(seq).alias("n_sub"))
+    the corpus's word table, segment it (:func:`bpe_segment_sizes` —
+    narrow folds for small merge tables, Arrow-batched vocabulary-sized
+    Python for production 30-50k-merge tokenizers), then dictionary-join
+    exactly like :func:`bpe_token_stats`. This is the inference path:
+    the tokenizer artifact travels, the corpus is never re-counted for
+    training."""
+    sizes = bpe_segment_sizes(docs, merges, text_col, engine)
     words = docs.select(
         F.col(group_col),
         F.explode(
@@ -235,3 +234,70 @@ def bpe_segment_with(docs: DataFrame, merges: list[tuple],
             F.round(F.avg("n_sub"), 6).alias("avg_tokens_per_word"),
         )
     )
+
+
+def _merge_fold_expr(merges: list[tuple]):
+    """Chained narrow folds applying ``merges`` in rank order — exact and
+    codegen-free but O(n_merges) expression depth: fine for tens of
+    merges, NOT for a production 30-50k-merge table (Catalyst analysis
+    time and stack depth both blow up)."""
+    seq = _char_seq(F.col("word"))
+    for _rk, l, r, m, _n in merges:
+        seq = _apply_merge(seq, l, r, m)
+    return seq
+
+
+def _merge_pandas_udf(merges: list[tuple]):
+    """Arrow-batched segmentation of WORDS (not documents): the merge
+    list is a closure constant, each batch applies all merges per word
+    in plain Python. This is the production path for large merge tables
+    — the UDF runs over the DISTINCT-WORD table (vocabulary-sized, ~10⁷
+    rows at 100 TB), never the corpus, so the Python cost is bounded by
+    the vocabulary; the corpus only pays the dictionary join. Same
+    greedy left-to-right non-overlapping semantics as the fold
+    (pytest-pinned equal)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ms = [(l, r, m) for _rk, l, r, m, _n in merges]
+
+    @pandas_udf("int")
+    def n_subtokens(words: pd.Series) -> pd.Series:
+        out = []
+        for w in words:
+            s = list(w)
+            for l, r, m in ms:
+                if l not in s:  # cheap reject: most merges touch few words
+                    continue
+                res = []
+                for x in s:
+                    if res and res[-1] == l and x == r:
+                        res[-1] = m
+                    else:
+                        res.append(x)
+                s = res
+            out.append(len(s))
+        return pd.Series(out)
+
+    return n_subtokens
+
+
+def bpe_segment_sizes(docs: DataFrame, merges: list[tuple],
+                      text_col: str = "text",
+                      engine: str = "auto") -> DataFrame:
+    """(word, n_sub) — the word→|segmentation| dictionary for a LOADED
+    merge table over this corpus's vocabulary. ``engine``: "fold" builds
+    chained narrow Column folds (exact, zero Python, but O(n_merges)
+    expression depth — the default for small merge tables); "pandas"
+    applies the merge list in an Arrow-batched UDF over the
+    vocabulary-sized word table (the production path for 30-50k-merge
+    tokenizers, where a 50k-deep expression tree is not analyzable);
+    "auto" switches at 64 merges. Both engines are pytest-pinned equal.
+    """
+    vocab = _word_counts(docs, text_col)
+    if engine == "auto":
+        engine = "fold" if len(merges) <= 64 else "pandas"
+    if engine == "fold":
+        return vocab.select(
+            "word", F.size(_merge_fold_expr(merges)).alias("n_sub"))
+    return vocab.select(
+        "word", _merge_pandas_udf(merges)(F.col("word")).alias("n_sub"))

@@ -213,3 +213,23 @@ def test_tokenizer_artifact_roundtrip(spark, tmp_path):
 
     ws = "lowest newest bananas low".split()
     assert got == {"x": (len(ws), sum(len(seg(w)) for w in ws))}
+
+
+def test_bpe_segment_engines_agree(spark):
+    """The fold engine (chained Column folds) and the pandas engine
+    (Arrow-batched vocabulary-sized Python — the production path for
+    30-50k-merge tables) must segment identically."""
+    from entity_resolution_pipeline_spark.operators.tokenizer import (
+        bpe_segment_sizes, bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, f"s{i % 2}") for i, t in enumerate(CORPUS)],
+        "doc_id long, text string, source string")
+    merges = [tuple(r) for r in bpe_train(df, n_merges=8).collect()]
+    fold = {r["word"]: r["n_sub"] for r in
+            bpe_segment_sizes(df, merges, engine="fold").collect()}
+    pandas_ = {r["word"]: r["n_sub"] for r in
+               bpe_segment_sizes(df, merges, engine="pandas").collect()}
+    assert fold == pandas_
+    assert len(fold) > 0
