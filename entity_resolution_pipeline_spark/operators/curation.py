@@ -140,7 +140,8 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
                     source_col: str = "source",
                     stop_threshold: int | None = None,
                     extended_gate: bool = False,
-                    remove_spans: bool = False) -> DataFrame:
+                    remove_spans: bool = False,
+                    semantic_keepers: DataFrame | None = None) -> DataFrame:
     """THE end-to-end training-data pipeline: fuzzy-dedup keepers ∩ not
     benchmark-contaminated ∩ curation-gate keep → overlap-chunk → per-source
     corpus budget (docs, chunks, words). At 100 TB this is one corpus scan
@@ -161,7 +162,13 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
     :func:`remove_duplicate_spans` over the surviving documents BEFORE
     chunking — the RefinedWeb exact-substring removal step — so the
     chunk/word budgets reflect the span-stripped texts (documents whose
-    every word was corpus-shared drop out entirely)."""
+    every word was corpus-shared drop out entirely).
+
+    ``semantic_keepers`` intersects a caller-provided keeper id set —
+    typically ``semantic_dedup(embeddings).where("is_keeper")`` — so the
+    budget also excludes embedding-space near-duplicates (the SemDeDup
+    stage of a modern pipeline); one extra id-keyed semi-join, nothing
+    else changes."""
     from pyspark import StorageLevel
 
     from .dedup import contamination_flags, fuzzy_dedup, shingle_table
@@ -190,6 +197,10 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
         .join(clean, id_col)
         .join(gated, id_col)
     )
+    if semantic_keepers is not None:
+        sem = semantic_keepers.select(
+            F.col(semantic_keepers.columns[0]).cast(id_type).alias(id_col))
+        kept = kept.join(sem, id_col, "left_semi")
     extra_persisted = list(getattr(gate, "_erps_persisted", None) or [])
     if remove_spans:
         # the kept lineage (3-way join over dedup + decontamination +

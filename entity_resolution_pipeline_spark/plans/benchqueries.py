@@ -3161,6 +3161,50 @@ GROUP BY k.source
 """
 
 
+def q_training_corpus_full(spark, sf_dir):
+    """The FULL modern pipeline capstone: everything `training_corpus`
+    chains (fuzzy-dedup keepers ∩ not-contaminated ∩ gate keep →
+    overlap-chunk → per-source budget) PLUS the SemDeDup stage —
+    embedding-space near-dup keepers intersected via one id-keyed
+    semi-join (vec_id aligns with doc_id in the testdata). The oracle
+    composes the existing dedup-closure / decontamination / gate / chunk
+    CTEs with the semantic-dedup dropped-id CTE."""
+    from ..operators.dedup import semantic_dedup
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    emb = _t(spark, sf_dir, "embeddings")
+    sem = semantic_dedup(emb, n_cells=SEMDEDUP_CELLS,
+                         threshold=SEMDEDUP_THRESHOLD) \
+        .where("is_keeper").select("vec_id")
+    return training_corpus(docs, eval_docs, stop_threshold=LSH_STOP,
+                           semantic_keepers=sem)
+
+
+def _oracle_training_corpus_full() -> str:
+    return f"""
+WITH dedup AS ({_oracle_dedup_canonical(4, 0.7)}),
+decon AS ({ORACLE_DECONTAMINATE}),
+gate AS ({_oracle_curation_gate()}),
+chunks AS ({ORACLE_DOCS_CHUNK}),
+sem AS ({_oracle_semantic_dedup()}),
+kept AS (
+  SELECT d.doc_id, d.source
+  FROM documents d
+  JOIN dedup dd ON d.doc_id = dd.doc_id AND dd.is_keeper
+  JOIN decon dc ON d.doc_id = dc.doc_id AND NOT dc.contaminated
+  JOIN gate g ON d.doc_id = g.doc_id AND g.keep
+  JOIN sem s ON d.doc_id = s.vec_id AND s.is_keeper
+)
+SELECT k.source,
+       COUNT(DISTINCT k.doc_id) AS n_docs,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(c.n_words) AS BIGINT) AS n_words
+FROM kept k JOIN chunks c USING (doc_id)
+GROUP BY k.source
+"""
+
+
 def q_corpus_length_stats(spark, sf_dir):
     """Per-source EXACT token-length distribution (p50/p90/p99 + mean) —
     the profiling pass that sizes chunk/pack budgets. Exact percentile so
@@ -4705,6 +4749,7 @@ QUERIES = {
     "stream_line_dedup": q_stream_line_dedup,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
+    "training_corpus_full": q_training_corpus_full,
     "corpus_curation": q_corpus_curation,
     "curation_gate": q_curation_gate,
     "remove_dup_spans": q_remove_dup_spans,
@@ -4906,6 +4951,7 @@ ORACLE_SQL = {
     "bpe_train": _oracle_bpe(BPE_MERGES, "train"),
     "bpe_segment": _oracle_bpe(BPE_MERGES, "segment"),
     "training_corpus": _oracle_training_corpus(),
+    "training_corpus_full": _oracle_training_corpus_full(),
     "corpus_length_stats": ORACLE_CORPUS_LENGTH_STATS,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "docs_lm_perplexity": ORACLE_DOCS_LM_PERPLEXITY,

@@ -499,3 +499,40 @@ def test_corpus_diff_statuses(spark):
         "doc_id long, text string")
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_semantic_keepers_shrink_training_corpus(spark):
+    """Intersecting the SemDeDup keeper set can only REMOVE budget: every
+    (source) row of the full run is bounded by the base run, and at the
+    battery threshold the intersection genuinely bites."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        training_corpus,
+    )
+    from entity_resolution_pipeline_spark.operators.dedup import semantic_dedup
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+    from pyspark.sql import functions as FF
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .repartition(8)
+    ev = docs.where(FF.col("doc_id") % 97 == 0)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    sem = semantic_dedup(emb, n_cells=8, threshold=0.35) \
+        .where("is_keeper").select("vec_id")
+    base_df = training_corpus(docs, ev, stop_threshold=200)
+    base = {r["source"]: r for r in base_df.collect()}
+    release_persisted(base_df)
+    full_df = training_corpus(docs, ev, stop_threshold=200,
+                              semantic_keepers=sem)
+    full = {r["source"]: r for r in full_df.collect()}
+    release_persisted(full_df)
+    assert set(full) <= set(base)
+    for s, r in full.items():
+        b = base[s]
+        assert r["n_docs"] <= b["n_docs"]
+        assert r["n_chunks"] <= b["n_chunks"]
+        assert r["n_words"] <= b["n_words"]
+    total_full = sum(r["n_docs"] for r in full.values())
+    total_base = sum(r["n_docs"] for r in base.values())
+    assert total_full < total_base  # the semantic stage genuinely bites
