@@ -41,4 +41,8 @@ def test_only_sanctioned_pandas_udfs():
     assert set(locations) <= {
         "functions/normalize.py", "functions/similarity.py",
         "operators/multimodal.py",  # stubbed decode plumbing, mapInPandas
+        # vocabulary-sized BPE application for 30-50k-merge tables: the
+        # UDF runs over the DISTINCT-WORD table, never the corpus (the
+        # corpus pays only the dictionary join) — see bpe_segment_sizes
+        "operators/tokenizer.py",
     }, locations
