@@ -4457,6 +4457,30 @@ FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
 
 
+def q_stream_fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy benchmark-release-day decontamination as a foreachBatch
+    stream (streaming/incremental.py:stream_fuzzy_decontaminate): the
+    corpus shingles + stop-guarded band-bucket index are static
+    persisted state; new eval docs (doc_id % 97 == 0) stream in,
+    broadcast-probe the index, and verified containment hits commit to
+    idempotent batch sinks. Distinct-union of per-(corpus, eval-row)
+    hits is batching-invariant, so the row REUSES the batch
+    fuzzy_decontaminate full-plan oracle (same convention as
+    stream_decontaminate)."""
+    from ..streaming.incremental import (
+        _tmp_sink_dir, stream_fuzzy_decontaminate,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    d = _tmp_sink_dir("inc_fdeconq_")  # atexit-cleaned
+    eval_docs.coalesce(1).write.mode("overwrite").parquet(d)
+    return stream_fuzzy_decontaminate(
+        spark, d, docs, k=3, n_bands=4,
+        threshold=FUZZY_DECON_THRESHOLD, stop_threshold=LSH_STOP,
+        timeout_s=240)
+
+
 LINE_WORDS = 8  # deterministic line synthesis: one line per 8 words
 
 
@@ -4747,6 +4771,7 @@ QUERIES = {
     "stream_bm25": q_stream_bm25,
     "stream_semantic_dedup": q_stream_semantic_dedup,
     "stream_line_dedup": q_stream_line_dedup,
+    "stream_fuzzy_decontaminate": q_stream_fuzzy_decontaminate,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
     "training_corpus_full": q_training_corpus_full,
@@ -4972,5 +4997,6 @@ ORACLE_SQL = {
     "stream_bm25": ORACLE_BM25_TOPK,
     "stream_semantic_dedup": _oracle_stream_semantic_dedup(),
     "stream_line_dedup": ORACLE_STREAM_LINE_DEDUP,
+    "stream_fuzzy_decontaminate": _oracle_fuzzy_decontaminate(4),
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

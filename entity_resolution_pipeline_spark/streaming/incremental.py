@@ -1023,6 +1023,124 @@ def stream_decontaminate_corpus(
     )
 
 
+def stream_fuzzy_decontaminate(
+    spark: SparkSession,
+    eval_delta_path: str,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    stop_threshold: int | None = None,
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """FUZZY benchmark-release-day decontamination: new eval documents
+    stream in and the question is which training docs NEAR-match them
+    (MinHash-LSH candidates verified by eval-side containment — the
+    streaming sibling of ``fuzzy_contamination_flags``, completing the
+    exact/fuzzy × batch/stream matrix next to
+    :func:`stream_decontaminate_corpus`).
+
+    Static state, built once and persisted: the corpus shingle table AND
+    its stop-guarded band-bucket index (the guard is judged on CORPUS
+    bucket sizes only — a pure function of the corpus, so results are
+    batching-invariant). Each micro-batch broadcasts its own band
+    buckets and shingle arrays (eval batches are tiny), probes the
+    bucket index, verifies containment, and commits distinct verified
+    ``(train_id, eval_id, containment)`` hits to a batch-keyed
+    idempotent sink; the final read distinct-unions hits (set union is
+    associative) and aggregates per training doc — equal to the one-shot
+    batch operator (pytest-asserted single-batch AND file-at-a-time).
+    """
+    corpus_sh = shingle_table(corpus_docs, id_col, text_col, k) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    tr_b = _band_buckets(corpus_sh, n_bands)
+    if stop_threshold is not None:
+        sizes = tr_b.groupBy("bucket").agg(F.count("*").alias("n"))
+        tr_b = tr_b.join(
+            F.broadcast(sizes.where(F.col("n") > stop_threshold)),
+            "bucket", "left_anti")
+    tr_b = tr_b.persist(StorageLevel.MEMORY_AND_DISK)
+    tr_b.count()
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(eval_delta_path):
+        parent, fname = os.path.split(eval_delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(eval_delta_path)
+
+    if sink_dir is None:
+        sink_dir = _tmp_sink_dir("inc_fdecon_sink_")
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "hits")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        ev_sh = shingle_table(batch, id_col, text_col, k)
+        ev_b = _band_buckets(ev_sh, n_bands) \
+            .select("bucket", F.col("id").alias("eval_id")).distinct()
+        cand = (
+            tr_b.join(F.broadcast(ev_b), "bucket")
+            .select("id", "eval_id").distinct()
+        )
+        ver = (
+            cand.join(corpus_sh.select("id", F.col("sh").alias("sh_t")),
+                      "id")
+            .join(F.broadcast(ev_sh.select(F.col("id").alias("eval_id"),
+                                           F.col("sh").alias("sh_e"))),
+                  "eval_id")
+            .select(
+                "id", "eval_id",
+                F.round(
+                    F.when(F.size("sh_e") > 0,
+                           F.size(F.array_intersect("sh_t", "sh_e"))
+                           .cast("double") / F.size("sh_e"))
+                    .otherwise(F.lit(0.0)), 6).alias("containment"),
+            )
+            .where(F.col("containment") >= threshold)
+        )
+        ver.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, timeout_s, "fuzzy decontamination",
+           persisted=(corpus_sh, tr_b))
+
+    ids = corpus_docs.select(F.col(id_col).alias("_cid"))
+    if not os.path.isdir(out_dir):  # empty delta: nothing contaminated
+        return ids.select(
+            F.col("_cid").alias(id_col),
+            F.lit(0).cast("long").alias("n_eval_matches"),
+            F.lit(0.0).alias("max_containment"),
+            F.lit(False).alias("contaminated"))
+    hits = (
+        spark.read.option("basePath", out_dir).parquet(out_dir)
+        .select("id", "eval_id", "containment").distinct()
+        .groupBy("id")
+        .agg(F.count("*").alias("n_eval_matches"),
+             F.max("containment").alias("max_containment"))
+    )
+    return ids.join(hits, ids["_cid"] == hits["id"], "left").select(
+        F.col("_cid").alias(id_col),
+        F.coalesce(F.col("n_eval_matches"), F.lit(0)).cast("long")
+        .alias("n_eval_matches"),
+        F.round(F.coalesce(F.col("max_containment"), F.lit(0.0)), 6)
+        .alias("max_containment"),
+        (F.coalesce(F.col("n_eval_matches"), F.lit(0)) > 0)
+        .alias("contaminated"),
+    )
+
+
 # --- incremental retrieval: delta queries probe a static lexical index ------
 
 

@@ -315,3 +315,39 @@ def test_stream_line_dedup_equals_batch_and_invariant(spark, tmp_path):
         max_files_per_trigger=1,
         sink_dir=str(tmp_path / "s2")).collect()}
     assert got2 == {d: tuple(r) for d, r in got1.items()}
+
+
+def test_stream_fuzzy_decontaminate_equals_batch_and_invariant(
+        spark, tmp_path):
+    """The fuzzy decontamination stream equals the one-shot batch
+    operator, single-batch AND eval-release-at-a-time (hits are per
+    (corpus, eval-row); distinct union is associative)."""
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        fuzzy_contamination_flags,
+    )
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_fuzzy_decontaminate,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_TINY, "documents.parquet")) \
+        .limit(60)
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    want = {tuple(r) for r in fuzzy_contamination_flags(
+        docs, ev, k=3, n_bands=4, threshold=0.5,
+        stop_threshold=200).collect()}
+    assert {r[-1] for r in want} == {True, False}  # non-vacuous fixture
+
+    one = str(tmp_path / "one")
+    ev.coalesce(1).write.parquet(one)
+    got1 = {tuple(r) for r in stream_fuzzy_decontaminate(
+        spark, one, docs, k=3, n_bands=4, threshold=0.5,
+        stop_threshold=200, sink_dir=str(tmp_path / "s1")).collect()}
+    assert got1 == want
+
+    many = str(tmp_path / "many")
+    ev.repartition(3).write.parquet(many)
+    got2 = {tuple(r) for r in stream_fuzzy_decontaminate(
+        spark, many, docs, k=3, n_bands=4, threshold=0.5,
+        stop_threshold=200, max_files_per_trigger=1,
+        sink_dir=str(tmp_path / "s2")).collect()}
+    assert got2 == want
