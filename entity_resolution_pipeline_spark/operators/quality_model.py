@@ -144,3 +144,34 @@ def distill_curation_gate(docs: DataFrame, id_col: str = "doc_id",
     out = scored.select(id_col, "p_quality", "keep", "gate_keep")
     out._erps_persisted = [labeled]
     return out
+
+
+def save_quality_filter(path: str, asm, model,
+                        threshold: float = 0.5) -> None:
+    """Persist assembler + LR + manifest (S12-style, mirroring
+    operators/modeling.save_scorer_package): the artifact any Spark
+    deployment loads to score new corpora without retraining."""
+    import json
+    import os
+
+    asm.write().overwrite().save(os.path.join(path, "assembler"))
+    model.write().overwrite().save(os.path.join(path, "lr"))
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump({"feature_cols": QUALITY_FEATURES,
+                   "threshold": threshold,
+                   "model_type": type(model).__name__}, f, sort_keys=True)
+
+
+def load_quality_filter(path: str):
+    """Returns (asm, model, manifest)."""
+    import json
+    import os
+
+    from pyspark.ml.classification import LogisticRegressionModel
+    from pyspark.ml.feature import VectorAssembler
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    asm = VectorAssembler.load(os.path.join(path, "assembler"))
+    model = LogisticRegressionModel.load(os.path.join(path, "lr"))
+    return asm, model, manifest

@@ -536,3 +536,32 @@ def test_semantic_keepers_shrink_training_corpus(spark):
     total_full = sum(r["n_docs"] for r in full.values())
     total_base = sum(r["n_docs"] for r in base.values())
     assert total_full < total_base  # the semantic stage genuinely bites
+
+
+def test_quality_filter_artifact_roundtrip(spark, tmp_path):
+    """save -> load -> re-score must reproduce p_quality byte-for-byte
+    on a fresh feature frame (the deployment contract)."""
+    from entity_resolution_pipeline_spark.operators.quality_model import (
+        apply_quality_filter, doc_quality_features, load_quality_filter,
+        save_quality_filter, train_quality_filter,
+    )
+    from entity_resolution_pipeline_spark.operators.curation import (
+        curation_flags,
+    )
+    from pyspark.sql import functions as FF
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = doc_quality_features(docs)
+    labeled = feats.join(
+        curation_flags(docs).select("doc_id",
+                                    FF.col("keep").cast("double")
+                                    .alias("label")), "doc_id")
+    asm, model = train_quality_filter(labeled)
+    before = {r["doc_id"]: r["p_quality"] for r in
+              apply_quality_filter(feats, asm, model).collect()}
+    save_quality_filter(str(tmp_path / "qf"), asm, model)
+    asm2, model2, manifest = load_quality_filter(str(tmp_path / "qf"))
+    after = {r["doc_id"]: r["p_quality"] for r in
+             apply_quality_filter(feats, asm2, model2).collect()}
+    assert before == after
+    assert manifest["feature_cols"][0] == "n_tokens"
