@@ -50,6 +50,7 @@ BATTERY = [
     "stream_strip_spans", "bm25_topk", "hybrid_rrf",
     "semantic_dedup", "fuzzy_decontaminate", "bpe_train",
     "line_dedup", "stream_semantic_dedup", "corpus_diff",
+    "sketch_distinct",
 ]
 
 

@@ -4809,7 +4809,6 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_canonical": q_dedup_canonical,
     "semantic_dedup": q_semantic_dedup,
     # embeddings (newest-first so fresh rows land in the 50-row driver
@@ -4873,6 +4872,7 @@ QUERIES = {
     # rotated out of the 50-row driver window (green in every committed
     # full-battery local record)
     "dedup_minhash_sigs": q_dedup_minhash_sigs,
+    "dedup_simhash": q_dedup_simhash,
     "tpch_q1": q_tpch_q1,
     "revenue_by_region": q_revenue_by_region,
     "top3_orders_per_customer": q_top3_orders_per_customer,
