@@ -259,3 +259,54 @@ def repetition_counts_col(text: Column) -> Column:
         ))
 
     return _bind(_words(F.coalesce(text, F.lit(""))), _with_words)
+
+
+def hashed_tf_embedding(docs, dim: int = 64, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        l2_normalize: bool = True):
+    """(id, embedding array<double>) — feature-hashing document vectors
+    (the hashing trick, Weinberger et al. 2009 / HashingTF): each
+    lowercase token scatters its term frequency into slot
+    md5(token) mod ``dim``. A deterministic text→vector bridge with NO
+    trained model, so the embedding stack (ANN, SemDeDup, SRP near-dup)
+    can run on any text corpus — and, because the hash is md5, the whole
+    embedding is bit-reproducible in a SQL oracle (unlike Spark MLlib's
+    murmur-based HashingTF).
+
+    Scale shape: map-side token explode → ONE (id, slot) count shuffle →
+    one per-id aggregation assembling the dense vector from a slot map
+    (missing slots zero-fill via a sequence transform). TF values are
+    exact integers, so the only float arithmetic is the optional final
+    L2 normalization (index-ordered fold, rounded to 6dp — cross-engine
+    safe). Empty docs yield the zero vector.
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                                F.lit(""))), r"\s+"),
+                     lambda t: t != "")).alias("tok"))
+    slot = (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+            .cast("long") % dim).cast("int")
+    counts = toks.select(id_col, slot.alias("slot")) \
+                 .groupBy(id_col, "slot").agg(F.count("*").alias("tf"))
+    vec = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "tf")))
+        .alias("_m"))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("_m", i), F.lit(0))
+        .cast("double"))
+    out = docs.select(id_col).join(vec, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(dense, F.array_repeat(F.lit(0.0), dim)).alias("_v"))
+    if not l2_normalize:
+        return out.select(id_col, F.col("_v").alias("embedding"))
+    nrm = F.sqrt(F.aggregate(F.transform(F.col("_v"), lambda x: x * x),
+                             F.lit(0.0), lambda a, x: a + x))
+    emb = _bind(nrm, lambda n: F.transform(
+        F.col("_v"),
+        lambda x: F.round(F.when(n > 0, x / n).otherwise(x), 6)))
+    return out.select(id_col, emb.alias("embedding"))

@@ -4301,6 +4301,53 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+HASH_EMBED_DIM = 32
+
+
+def q_docs_hash_embed(spark, sf_dir):
+    """Feature-hashing document embeddings (the hashing trick /
+    HashingTF, but md5-based so the WHOLE embedding is hash-checkable in
+    SQL): each token's tf scatters into slot md5(token) mod 32,
+    L2-normalized — the deterministic text→vector bridge that lets the
+    ANN / SemDeDup / SRP stack run on any text corpus with no trained
+    model. One token explode, one (id, slot) count shuffle, one per-id
+    assembly. Library: functions/textstats.py:hashed_tf_embedding."""
+    from ..functions.textstats import hashed_tf_embedding
+
+    return hashed_tf_embedding(_t_wide(spark, sf_dir, "documents"),
+                               dim=HASH_EMBED_DIM)
+
+
+ORACLE_DOCS_HASH_EMBED = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+              % {HASH_EMBED_DIM} AS INT) AS slot,
+         COUNT(*) AS tf
+  FROM toks GROUP BY 1, 2
+), dense AS (
+  SELECT d.doc_id, i.i AS slot, CAST(coalesce(c.tf, 0) AS DOUBLE) AS v
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, {HASH_EMBED_DIM - 1})) AS i) i
+  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.slot = i.i
+), vecs AS (
+  SELECT doc_id, list(v ORDER BY slot) AS v FROM dense GROUP BY doc_id
+)
+SELECT doc_id,
+       list_transform(v, x -> round(CASE WHEN nrm > 0 THEN x / nrm
+                                         ELSE x END, 6)) AS embedding
+FROM (SELECT doc_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM vecs)
+"""
+
+
 SKETCH_K = 64
 
 
@@ -4798,13 +4845,13 @@ QUERIES = {
     "corpus_diff": q_corpus_diff,
     "quality_filter": q_quality_filter,
     # deterministic KMV sketches (distinct estimate + overlap matrix)
+    "docs_hash_embed": q_docs_hash_embed,
     "sketch_distinct": q_sketch_distinct,
     "sketch_source_overlap": q_sketch_source_overlap,
     # tokenizer induction (distributed BPE)
     "bpe_train": q_bpe_train,
     "bpe_segment": q_bpe_segment,
     # dedup
-    "dedup_exact": q_dedup_exact,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
@@ -4871,6 +4918,7 @@ QUERIES = {
     # relational battery (TPC-H-ish tail) + long-verified r1 rows
     # rotated out of the 50-row driver window (green in every committed
     # full-battery local record)
+    "dedup_exact": q_dedup_exact,
     "dedup_minhash_sigs": q_dedup_minhash_sigs,
     "dedup_simhash": q_dedup_simhash,
     "tpch_q1": q_tpch_q1,
@@ -4972,6 +5020,7 @@ ORACLE_SQL = {
     "fuzzy_decontaminate": _oracle_fuzzy_decontaminate(4),
     "line_dedup": ORACLE_LINE_DEDUP,
     "corpus_diff": ORACLE_CORPUS_DIFF,
+    "docs_hash_embed": ORACLE_DOCS_HASH_EMBED,
     "sketch_distinct": ORACLE_SKETCH_DISTINCT,
     "sketch_source_overlap": ORACLE_SKETCH_OVERLAP,
     "semantic_dedup": _oracle_semantic_dedup(),

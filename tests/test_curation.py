@@ -565,3 +565,41 @@ def test_quality_filter_artifact_roundtrip(spark, tmp_path):
              apply_quality_filter(feats, asm2, model2).collect()}
     assert before == after
     assert manifest["feature_cols"][0] == "n_tokens"
+
+
+def test_hashed_tf_embedding_scalar_reference(spark):
+    """Feature-hashing vectors match a pure-python reference bit-for-bit
+    (md5 slots, tf scatter, L2 norm, 6dp); empty docs are zero vectors;
+    the vectors compose with the embedding stack (semantic_dedup runs)."""
+    import hashlib
+    import math
+
+    from entity_resolution_pipeline_spark.functions.textstats import (
+        hashed_tf_embedding,
+    )
+    from entity_resolution_pipeline_spark.operators.dedup import semantic_dedup
+
+    texts = {1: "the cat sat on the mat", 2: "spark shuffles all day",
+             3: "", 4: "the the the"}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string")
+    got = {r["doc_id"]: list(r["embedding"]) for r in
+           hashed_tf_embedding(docs, dim=16).collect()}
+
+    def ref(text):
+        from collections import Counter
+        c = Counter(int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 16
+                    for t in text.lower().split())
+        v = [float(c.get(i, 0)) for i in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [round(x / n, 6) if n > 0 else x for x in v]
+
+    for d, text in texts.items():
+        assert got[d] == ref(text), d
+    assert got[3] == [0.0] * 16
+
+    # composes with the embedding operators (vec_id/embedding contract)
+    emb = hashed_tf_embedding(docs, dim=16).select(
+        F.col("doc_id").alias("vec_id"), "embedding")
+    out = semantic_dedup(emb, n_cells=2, threshold=0.99)
+    assert out.count() == 4
