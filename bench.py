@@ -218,15 +218,30 @@ def main() -> None:
     # scaling legs time only the ER stages; skip the battery to keep
     # interleaved rounds short (BENCH_ER_ONLY=1 set by tools/scaling_bench.py)
     battery = [] if os.environ.get("BENCH_ER_ONLY") else BATTERY
+    # Battery rows are MEDIANS of BENCH_BATTERY_REPS full re-executions
+    # (raw legs in battery_legs_raw) — single-run rows drifted ~1.3×
+    # between rounds 3 and 4 with no code change on their paths (the ER
+    # stages got the same medians-of-3 treatment in round 4 and stopped
+    # lying immediately). Each rep rebuilds the DataFrame from the query
+    # fn and releases its persisted internals afterwards, so reps share
+    # nothing but warm executors/JIT — the steady-state a long job runs at.
+    import statistics
+
+    battery_reps = max(int(os.environ.get("BENCH_BATTERY_REPS", "3")), 1)
+    battery_legs: dict[str, list[float]] = {}
     for name in battery:
         fn = bq.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        force_full(df)
-        queries[name] = round(time.perf_counter() - t0, 3)
-        # rows that persist internals forward them on _erps_persisted;
-        # release per row so caches never bleed into later timings
-        release_persisted(df)
+        legs = []
+        for _ in range(battery_reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            force_full(df)
+            legs.append(round(time.perf_counter() - t0, 3))
+            # rows that persist internals forward them on _erps_persisted;
+            # release per rep so caches never bleed into later timings
+            release_persisted(df)
+        battery_legs[name] = legs
+        queries[name] = round(statistics.median(legs), 3)
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
@@ -237,6 +252,8 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "er": er,
+        "battery_reps": battery_reps,
+        "battery_legs_raw": battery_legs,
     }))
 
 

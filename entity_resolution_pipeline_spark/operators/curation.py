@@ -222,10 +222,13 @@ def training_corpus(docs: DataFrame, eval_docs: DataFrame,
         F.sum("n_words").alias("n_words"),
     )
     # own the shared shingle table AND forward fuzzy_dedup's internal
-    # caches (LSH signatures) + any extended-gate LM tables so
-    # release_persisted frees everything
+    # caches (LSH signatures) + any extended-gate LM tables + whatever the
+    # caller's semantic_keepers frame carried (semantic_dedup persists its
+    # embeddings+norms base) so release_persisted frees everything
     out._erps_persisted = [sh, *(getattr(fd, "_erps_persisted", None) or []),
-                           *extra_persisted]
+                           *extra_persisted,
+                           *(getattr(semantic_keepers, "_erps_persisted",
+                                     None) or [])]
     return out
 
 
@@ -642,6 +645,114 @@ def strip_spans_vs_corpus(delta_docs: DataFrame, corpus_shingles: DataFrame,
     covered = (
         sh_pos.join(corpus_shingles.select("shingle"), "shingle", "left_semi")
         .select("id", F.explode(F.sequence("pos", "endp")).alias("widx"))
+        .distinct()
+    )
+    return _rebuild_without(base, covered, id_col)
+
+
+def _window_fingerprints(w, min_len: int):
+    """Column of md5 fingerprints for every ``min_len``-word window of the
+    (lowered) token-array Column ``w``, built by ITERATIVE DOUBLING
+    (sparse-table fingerprints): level-0 hashes each word; level j hashes
+    the concat of two level-(j-1) hashes 2^(j-1) apart; the final
+    arbitrary-length window combines two overlapping level-p blocks
+    (p = floor(log2 L)). O(n·log L) hash ops per document instead of the
+    O(n·L) of hashing each window's text directly — at L = 50 that is a
+    12× map-side saving, and it is what makes min-length-L exact-substring
+    dedup a pure projection at 100 TB. Fixed-width hex inputs at every
+    combine step, so no concat ambiguity. fingerprints[i] covers words
+    [i, i+L-1]; docs shorter than L produce an empty array (a sub-L doc
+    cannot contain a length-≥L repeat)."""
+    p = 0
+    while (1 << (p + 1)) <= min_len:
+        p += 1
+    pw = 1 << p
+
+    def _level(prev, half: int):
+        # new length = len(prev) - half; sequence() is DESCENDING when
+        # stop < start, so guard the short-array case to an empty array
+        return _hof_bind(prev, lambda a: F.when(
+            F.size(a) > half,
+            F.transform(
+                F.sequence(F.lit(1), F.size(a) - half),
+                lambda i: F.md5(F.concat(F.element_at(a, i),
+                                         F.element_at(a, i + half))),
+            )).otherwise(F.array().cast("array<string>")))
+
+    lvl = F.transform(w, lambda t: F.md5(t))
+    for j in range(p):
+        lvl = _level(lvl, 1 << j)
+    if min_len == pw:
+        return lvl
+    off = min_len - pw  # overlapping combine: [i, i+pw-1] + [i+off, i+L-1]
+    return _hof_bind(lvl, lambda a: F.when(
+        F.size(a) > off,
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - off),
+            lambda i: F.md5(F.concat(F.element_at(a, i),
+                                     F.element_at(a, i + off))),
+        )).otherwise(F.array().cast("array<string>")))
+
+
+def _hof_bind(value, fn):
+    """Bind ``value`` once as a lambda variable (interpreted HOF lambdas
+    have no CSE — same idiom as functions/textstats.py:_bind). Essential
+    here: each doubling level references the previous level many times;
+    without binding, Project collapse would inline level j-1 into every
+    element_at of level j and the expression tree would grow ~2^p."""
+    return F.transform(F.array(value), fn)[0]
+
+
+def remove_long_repeats(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", min_len: int = 20,
+                        min_count: int = 2) -> DataFrame:
+    """Arbitrary-length exact-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499 §ExactSubstr): remove every token that lies inside a
+    word sequence of ≥ ``min_len`` tokens occurring ≥ ``min_count`` times
+    corpus-wide (occurrences, not documents — a within-document repeat
+    counts, exactly as a suffix array would see it). Output:
+    (id, n_words, n_removed, text_clean), same contract as
+    :func:`remove_duplicate_spans`.
+
+    Correctness reduction — why no suffix array is needed: a token lies
+    in some repeated substring of length ≥ L **iff** it is covered by
+    some EXACTLY-L-token window whose fingerprint occurs ≥ 2 times. (⇐ a
+    duplicated L-window is itself a length-L repeat. ⇒ any repeat of
+    length M ≥ L contains, around each of its tokens, at least one
+    L-sub-window, and every L-sub-window of a repeated substring is
+    repeated.) So min-length-L semantics collapse to a window-frequency
+    count — embarrassingly parallel, unlike the paper's single-node
+    suffix-array build.
+
+    DEVIATION from the paper, shared with :func:`remove_duplicate_spans`:
+    ALL occurrences are removed (the paper keeps one copy). Remove-all is
+    order-free and deterministic under any partitioning; keep-one needs a
+    globally-agreed survivor per maximal repeat, which the paper itself
+    resolves arbitrarily. Err-toward-more-pruning is the cheap side for
+    training data.
+
+    Plan shape at 100 TB: the doubling fingerprints are a zero-shuffle
+    projection (O(n log L) per doc, see :func:`_window_fingerprints`);
+    one map-side-combined exchange counts window-hash occurrences; covered
+    word indices are an equi-join on the window hash plus a ×L map-side
+    expansion bounded by actual duplication; the rebuild is the shared
+    per-doc aggregation. Two shuffles total — identical exchange structure
+    to :func:`remove_duplicate_spans`, independent of L.
+    """
+    wr = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("id"), wr.alias("w"))
+    fps = _window_fingerprints(
+        F.transform(F.col("w"), lambda t: F.lower(t)), min_len)
+    wins = (
+        base.select("id", F.posexplode(fps).alias("pos0", "h"))
+        .select("id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    freq = wins.groupBy("h").agg(F.count("*").alias("cnt"))
+    covered = (
+        wins.join(freq.where(F.col("cnt") >= min_count), "h")
+        .select("id", F.explode(
+            F.sequence(F.col("pos"),
+                       F.col("pos") + F.lit(min_len - 1))).alias("widx"))
         .distinct()
     )
     return _rebuild_without(base, covered, id_col)

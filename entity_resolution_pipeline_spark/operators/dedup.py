@@ -507,6 +507,19 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
     (deterministic greedy min-id keeper — the same keeper rule as
     :func:`exact_dedup`, so downstream keeps ``WHERE is_keeper``).
 
+    DELIBERATE DEVIATION from Abbas et al.'s keep-one-per-duplicate-group
+    reading: the smaller-id neighbor that triggers a drop may itself have
+    been dropped, and cosine is not transitive, so a chain a~b, b~c with
+    a≁c drops BOTH b and c where a group-keeper rule would keep c. This
+    one-pass rule was chosen because it is a single self-join (no
+    iteration) and errs toward MORE pruning — acceptable for dedup, where
+    over-dropping costs a little data and under-dropping costs duplicate
+    training mass. The group semantics are available by feeding the
+    thresholded within-cell pairs to
+    :func:`~..operators.clustering.connected_components` and keeping each
+    component's min id; the oracle and the incremental stream both mirror
+    THIS operator's one-pass rule exactly.
+
     Scale shape: the coarse quantizer is the IVF cell assignment
     (operators/ann.py:ivf_assign_cells — one narrow corpus pass against
     driver-state centroids), and the pairwise stage shuffles BOTH sides on

@@ -16,11 +16,19 @@ trick production pipelines use when the expensive judgment (an LLM
 grader, human ratings, a reference corpus contrast) is too costly to run
 corpus-wide: run it on a slice, distill, deploy the distilled model.
 
-Training is iterative (LBFGS) and therefore not SQL-expressible — the
-battery row is registered WITHOUT an oracle per the driver contract
-(rows-only check, like the flagship ER pipeline); the quality gates live
-in pytest: held-out agreement and AUC floors vs the gate labels, and
-determinism of the scored output within a session.
+Training is iterative (LBFGS) and therefore not SQL-expressible, so the
+verification contract is split the way the battery splits it for the ANN
+quantizers (driver-state literals): TRAINING quality lives in pytest
+(held-out agreement and AUC floors vs the gate labels, plus agreement of
+a freshly trained model with the committed artifact below), while the
+100 TB DEPLOYMENT path — features → dot product → threshold with the
+COMMITTED coefficient artifact — is a pure native projection with a
+full-plan DuckDB oracle (battery row ``quality_filter``). The committed
+artifact PINNED_QUALITY_MODEL is the output of one training run at
+sf0.01 (seed 42, train slice doc_id % 2 == 0); scoring emits the LOGIT
+rather than the sigmoid probability because the logistic function is
+monotone (keep ⇔ logit ≥ logit(τ)) and exp() is the one term whose last
+ulp could differ between JVM and DuckDB libm.
 """
 
 from __future__ import annotations
@@ -36,6 +44,46 @@ QUALITY_FEATURES = [
     "n_tokens", "mean_word_len", "alpha_ratio", "stop_ratio",
     "entropy", "dup_word_frac", "top_word_frac",
 ]
+
+# The committed model artifact: LogisticRegression(maxIter=25,
+# regParam=0.01, standardization=True, seed fixtures above) fitted at
+# sf0.01 on the doc_id % 2 == 0 slice with curation-gate labels — the
+# "distilled classifier shipped to the cluster" that a 100 TB scoring job
+# broadcasts. Pinned so the deployment projection is fully deterministic
+# and SQL-oracle-checkable; tests/test_quality_model.py asserts a freshly
+# trained model agrees with this artifact's keep decisions.
+PINNED_QUALITY_COEFFS: dict[str, float] = {
+    "n_tokens": -0.047267773197258105,
+    "mean_word_len": 1.298120117272665,
+    "alpha_ratio": -0.9878140087136014,
+    "stop_ratio": 36.716986741181806,
+    "entropy": 3.433463803214661,
+    "dup_word_frac": -3.835258995257086,
+    "top_word_frac": -41.2976221909497,
+}
+PINNED_QUALITY_INTERCEPT: float = -11.01070136220459
+
+
+def score_quality_pinned(features: DataFrame,
+                         coeffs: dict[str, float] | None = None,
+                         intercept: float | None = None,
+                         logit_threshold: float = 0.0) -> DataFrame:
+    """Score documents with a PINNED coefficient artifact as one native
+    projection: adds (logit, keep) where logit = round(b + Σ wᵢ·fᵢ, 6)
+    and keep ⇔ logit ≥ ``logit_threshold`` (0.0 ⇔ p ≥ 0.5 — the logistic
+    is monotone, so thresholding the logit IS thresholding the
+    probability, minus the cross-engine exp()). This is the deployment
+    hot path at 100 TB: zero shuffle, zero Python, whole-stage codegen,
+    the model rides the plan as literals exactly like the ANN centroids
+    and PQ codebooks."""
+    coeffs = PINNED_QUALITY_COEFFS if coeffs is None else coeffs
+    b = PINNED_QUALITY_INTERCEPT if intercept is None else intercept
+    logit = F.lit(float(b))
+    for name in QUALITY_FEATURES:  # fixed fold order — oracle mirrors it
+        if name in coeffs:
+            logit = logit + F.lit(float(coeffs[name])) * F.col(name)
+    out = features.withColumn("logit", F.round(logit, 6))
+    return out.withColumn("keep", F.col("logit") >= F.lit(logit_threshold))
 
 
 def doc_quality_features(docs: DataFrame, id_col: str = "doc_id",

@@ -208,7 +208,7 @@ def load_tokenizer(path: str) -> list[tuple]:
 
 
 def bpe_segment_with(docs: DataFrame, merges: list[tuple],
-                     id_col: str = "doc_id", text_col: str = "text",
+                     text_col: str = "text",
                      group_col: str = "source",
                      engine: str = "auto") -> DataFrame:
     """Apply a LOADED merge table to a new corpus (no retraining): derive

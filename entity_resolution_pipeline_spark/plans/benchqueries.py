@@ -482,19 +482,29 @@ def q_docs_winnow(spark, sf_dir):
     ~1/4 the density of full shingle sets, which is what plagiarism /
     near-dup indexes store at scale instead of every shingle. Pure
     per-row expression; the oracle reproduces the hash (md5-prefix
-    integer) and the window minima exactly. Library:
+    integer) and the window minima exactly. The fingerprint SET is
+    serialized to one comma-joined string in the battery projection —
+    the driver's canonicalizer pandas-sorts raw cells and cannot hash
+    list values (round-4 driver regression), so array outputs must leave
+    the battery as scalars. Library:
     functions/hashing.py:winnow_fingerprints_col."""
     from ..functions.hashing import winnow_fingerprints_col
 
     docs = _t_wide(spark, sf_dir, "documents")
     fp = winnow_fingerprints_col(F.col("text"), k=4, w=4)
     return docs.select(
-        "doc_id", fp.alias("fingerprints"),
+        "doc_id",
+        F.array_join(F.transform(fp, lambda x: x.cast("string")), ",")
+        .alias("fingerprints"),
         F.size(fp).cast("long").alias("n_fingerprints"),
     )
 
 
-ORACLE_DOCS_WINNOW = r"""
+# Inner form (fingerprints as a BIGINT list) — composed by the winnow
+# candidate-pair oracle, which unnests it; the battery-facing
+# ORACLE_DOCS_WINNOW below serializes the list to a scalar string to
+# mirror the Spark projection (driver canonicalizer can't sort lists).
+_ORACLE_WINNOW_FP = r"""
 WITH t AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'),
@@ -527,6 +537,13 @@ SELECT doc_id, fingerprints,
 FROM fp
 """
 
+ORACLE_DOCS_WINNOW = f"""
+WITH wf AS ({_ORACLE_WINNOW_FP})
+SELECT doc_id, array_to_string(fingerprints, ',') AS fingerprints,
+       n_fingerprints
+FROM wf
+"""
+
 
 def q_dedup_winnow_pairs(spark, sf_dir):
     """Near-dup candidates from the winnowing index: ids sharing a
@@ -542,7 +559,7 @@ def q_dedup_winnow_pairs(spark, sf_dir):
 
 def _oracle_dedup_winnow_pairs() -> str:
     return f"""
-WITH wf AS ({ORACLE_DOCS_WINNOW}),
+WITH wf AS ({_ORACLE_WINNOW_FP}),
 fps AS (
   SELECT doc_id AS id, unnest(fingerprints) AS fp FROM wf
 ), keep AS (
@@ -3174,9 +3191,15 @@ def q_training_corpus_full(spark, sf_dir):
     docs = _t_wide(spark, sf_dir, "documents")
     eval_docs = docs.where(F.col("doc_id") % 97 == 0)
     emb = _t(spark, sf_dir, "embeddings")
-    sem = semantic_dedup(emb, n_cells=SEMDEDUP_CELLS,
-                         threshold=SEMDEDUP_THRESHOLD) \
-        .where("is_keeper").select("vec_id")
+    sd = semantic_dedup(emb, n_cells=SEMDEDUP_CELLS,
+                        threshold=SEMDEDUP_THRESHOLD)
+    sem = sd.where("is_keeper").select("vec_id")
+    # .where/.select return NEW frames that drop the _erps_persisted
+    # attribute — re-attach semantic_dedup's persisted base (embeddings +
+    # norms) so training_corpus forwards it and the per-row
+    # release_persisted in bench.py / check_queries.py actually frees it
+    # (round-4 advisor finding: the cache bled into later timings)
+    sem._erps_persisted = list(getattr(sd, "_erps_persisted", None) or [])
     return training_corpus(docs, eval_docs, stop_threshold=LSH_STOP,
                            semantic_keepers=sem)
 
@@ -3548,6 +3571,104 @@ WITH base AS (
   FROM pos p JOIN freq f USING (shingle),
        unnest(generate_series(p.pos, p.endp)) AS u(j)
   WHERE f.df >= 2
+), words AS (
+  SELECT doc_id, j AS widx, w[j] AS word
+  FROM base, unnest(generate_series(1, len(w))) AS g(j)
+), kept AS (
+  SELECT ws.* FROM words ws
+  ANTI JOIN covered c ON ws.doc_id = c.doc_id AND ws.widx = c.widx
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY widx) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.w) AS BIGINT) AS n_words,
+       CAST(len(b.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.text_clean, '') AS text_clean
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+LONG_REPEAT_LEN = 20  # min repeated-substring length in words (Lee et al.
+#                       use 50 BPE tokens ≈ 35 words; 20 keeps the planted
+#                       fixtures comfortably above threshold at sf0.01)
+_BOILER_A = ("this website uses cookies to improve your experience we assume "
+             "you accept by continuing to browse the site you agree to our "
+             "use of cookies")          # 25 words ≥ LONG_REPEAT_LEN
+_BOILER_B = ("all rights reserved reproduction in whole or in part without "
+             "permission is prohibited please read our privacy policy and "
+             "terms of service before use")  # 24 words ≥ LONG_REPEAT_LEN
+
+
+def q_remove_long_repeats(spark, sf_dir):
+    """Arbitrary-length exact-substring dedup (Lee et al. 2022
+    ExactSubstr, arXiv:2107.06499): strip every token inside a ≥20-word
+    sequence occurring ≥2 times corpus-wide — the production operator the
+    fixed-k-shingle `remove_dup_spans` approximates. Implemented without
+    suffix arrays via the window-frequency reduction (a token is in some
+    ≥L repeat iff covered by a duplicated exactly-L window) with
+    O(n·log L) doubling fingerprints. The raw corpus is ≥20-word-repeat
+    free, so two boilerplate paragraphs (25 and 24 words — cookie banner /
+    rights notice, each straddling the length threshold non-trivially)
+    are planted on the doc_id%4∈{0,1} slices; the oracle replays the
+    doubling levels, the window-occurrence count, and the strip exactly.
+    Library: operators/curation.py:remove_long_repeats."""
+    from ..operators.curation import remove_long_repeats
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(" " + _BOILER_A)))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.col("text"), F.lit(" " + _BOILER_B)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return remove_long_repeats(salted, min_len=LONG_REPEAT_LEN)
+
+
+def _oracle_remove_long_repeats() -> str:
+    """Replays _window_fingerprints' doubling levels for L=20 (p=4 →
+    blocks of 16, overlapping combine at offset 4), the corpus-wide
+    occurrence count (HAVING COUNT(*) ≥ 2 over ALL window instances, not
+    distinct docs), coverage expansion, and the ordered rebuild."""
+    L = LONG_REPEAT_LEN
+    lvl_sql = """
+  SELECT doc_id, w,
+         CASE WHEN len(a) > {h}
+              THEN list_transform(generate_series(1, len(a) - {h}),
+                                  i -> md5(a[i] || a[i + {h}]))
+              ELSE CAST([] AS VARCHAR[]) END AS a
+  FROM {src}"""
+    levels = ""
+    src = "l0"
+    for j, half in enumerate([1, 2, 4, 8, 4]):  # 4 doubling levels + the
+        name = f"l{j + 1}"                      # offset-4 final combine
+        levels += f", {name} AS ({lvl_sql.format(h=half, src=src)})"
+        src = name
+    return rf"""
+WITH salted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' {_BOILER_A}'
+              WHEN doc_id % 4 = 1 THEN text || ' {_BOILER_B}'
+              ELSE text END AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM salted
+), l0 AS (
+  SELECT doc_id, w, list_transform(w, t -> md5(lower(t))) AS a FROM base
+){levels}, wins AS (
+  SELECT doc_id, i AS pos, a[i] AS h
+  FROM {src}, unnest(generate_series(1, len(a))) AS g(i)
+), freq AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+), covered AS (
+  SELECT DISTINCT ws.doc_id, j AS widx
+  FROM wins ws JOIN freq USING (h),
+       unnest(generate_series(ws.pos, ws.pos + {L - 1})) AS u(j)
 ), words AS (
   SELECT doc_id, j AS widx, w[j] AS word
   FROM base, unnest(generate_series(1, len(w))) AS g(j)
@@ -4018,7 +4139,10 @@ SEMDEDUP_THRESHOLD = 0.35
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540): embedding-cluster semantic near-dup
     pruning — every vector labeled (vec_id, cell_id, is_keeper), dropped
-    iff a smaller-id vector in the same coarse cell has cosine ≥ 0.6.
+    iff a smaller-id vector in the same coarse cell has cosine ≥
+    SEMDEDUP_THRESHOLD (0.35 here — the synthetic embeddings are near
+    uniform on the sphere, so the paper's 0.9x settings would drop
+    nothing at sf0.01).
     The oracle replicates the FULL plan (seeded centroid draw, cosine
     argmax cell assignment, within-cell pair scan, greedy min-id keeper)
     so the hash match verifies the approximate clustering itself.
@@ -4311,11 +4435,20 @@ def q_docs_hash_embed(spark, sf_dir):
     L2-normalized — the deterministic text→vector bridge that lets the
     ANN / SemDeDup / SRP stack run on any text corpus with no trained
     model. One token explode, one (id, slot) count shuffle, one per-id
-    assembly. Library: functions/textstats.py:hashed_tf_embedding."""
+    assembly. The battery projection serializes the vector to one
+    comma-joined MICRO-INT string (×1e6 of the 6dp-rounded components):
+    the driver canonicalizer can't sort list cells (round-4 driver
+    regression), and integer rendering — unlike double→varchar — is
+    format-identical across Spark and DuckDB.
+    Library: functions/textstats.py:hashed_tf_embedding."""
     from ..functions.textstats import hashed_tf_embedding
 
-    return hashed_tf_embedding(_t_wide(spark, sf_dir, "documents"),
-                               dim=HASH_EMBED_DIM)
+    emb = hashed_tf_embedding(_t_wide(spark, sf_dir, "documents"),
+                              dim=HASH_EMBED_DIM)
+    micro = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x * 1000000).cast("long").cast("string"))
+    return emb.select("doc_id", F.array_join(micro, ",").alias("embedding"))
 
 
 ORACLE_DOCS_HASH_EMBED = rf"""
@@ -4340,8 +4473,10 @@ WITH toks AS (
   SELECT doc_id, list(v ORDER BY slot) AS v FROM dense GROUP BY doc_id
 )
 SELECT doc_id,
-       list_transform(v, x -> round(CASE WHEN nrm > 0 THEN x / nrm
-                                         ELSE x END, 6)) AS embedding
+       array_to_string(list_transform(v,
+         x -> CAST(round(round(CASE WHEN nrm > 0 THEN x / nrm
+                                    ELSE x END, 6) * 1000000) AS BIGINT)),
+         ',') AS embedding
 FROM (SELECT doc_id, v,
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
       FROM vecs)
@@ -4448,19 +4583,104 @@ FROM x GROUP BY ga, gb
 
 
 def q_quality_filter(spark, sf_dir):
-    """Model-based quality filtering (the GPT-3/LLaMA classifier stage):
-    the heuristic curation gate labels the even-id slice, a logistic
-    regression distills it from RAW native features (token/char ratios,
-    entropy, repetition fractions), and the fitted model scores EVERY
-    document as one broadcast dot product. Training is iterative LBFGS —
-    not SQL-expressible — so this row is registered WITHOUT an oracle per
-    the driver contract (rows-only check, like er_pipeline_clusters); the
-    quality gates are pytest: held-out agreement ≥ 0.85 and AUC ≥ 0.9 vs
-    the gate labels (measured 0.912 / 0.967 at sf0.01).
-    Library: operators/quality_model.py."""
-    from ..operators.quality_model import distill_curation_gate
+    """Model-based quality filtering (the GPT-3/LLaMA classifier stage),
+    verified at its DEPLOYMENT path: native per-document features
+    (token/char ratios, entropy, repetition fractions) → dot product with
+    the COMMITTED coefficient artifact (PINNED_QUALITY_MODEL, one LBFGS
+    training run at sf0.01 — the distilled classifier a 100 TB job
+    broadcasts) → 6dp logit → keep ⇔ logit ≥ 0 (≡ p ≥ 0.5, logistic
+    monotone — the logit avoids the one cross-engine-unsafe term, exp).
+    gate_keep rides along for side-by-side audit. The FULL scoring plan
+    has a DuckDB oracle (features, fold-ordered dot, threshold); training
+    quality is pytest-gated (held-out agreement ≥ 0.85 / AUC ≥ 0.9 vs the
+    gate labels, measured 0.912/0.967, plus fresh-model agreement with
+    the pinned artifact). Library: operators/quality_model.py."""
+    from ..operators.quality_model import (
+        doc_quality_features, score_quality_pinned,
+    )
 
-    return distill_curation_gate(_t_wide(spark, sf_dir, "documents"))
+    docs = _t_wide(spark, sf_dir, "documents")
+    scored = score_quality_pinned(doc_quality_features(docs))
+    gate = curation_flags(docs).select(
+        "doc_id", F.col("keep").alias("gate_keep"))
+    return scored.select("doc_id", "logit", "keep").join(gate, "doc_id")
+
+
+def _oracle_quality_filter() -> str:
+    """Full-plan replica of q_quality_filter: the seven native features
+    exactly as operators/quality_model.py:doc_quality_features folds them
+    (three tokenizations: lowered-\\s+ for counts/stopwords, raw-\\s+ for
+    entropy, the [^a-z0-9']+ word split for repetition), then the pinned
+    dot product in QUALITY_FEATURES order (left-to-right adds — IEEE
+    order-identical to the Spark expression), 6dp round, keep at 0."""
+    from ..functions.textstats import LANG_STOPWORDS
+    from ..operators.quality_model import (
+        PINNED_QUALITY_COEFFS, PINNED_QUALITY_INTERCEPT, QUALITY_FEATURES,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+    dot = f"CAST({PINNED_QUALITY_INTERCEPT!r} AS DOUBLE)"
+    for name in QUALITY_FEATURES:
+        dot += (f" + CAST({PINNED_QUALITY_COEFFS[name]!r} AS DOUBLE)"
+                f" * {name}")
+    return rf"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), tok AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(lower(t), '\s+'),
+                     x -> x <> '') AS lw,
+         list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS rw,
+         list_filter(string_split_regex(lower(t), '[^a-z0-9'']+'),
+                     x -> x <> '') AS gw
+  FROM base
+), ent AS (
+  SELECT doc_id, list_sum(list(c * ln(c) ORDER BY word)) AS sumclogc
+  FROM (SELECT doc_id, word, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(rw) AS word FROM tok)
+        GROUP BY 1, 2)
+  GROUP BY doc_id
+), top AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) AS twc
+  FROM (SELECT doc_id, word, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(gw) AS word FROM tok)
+        GROUP BY 1, 2)
+  GROUP BY doc_id
+), raw AS (
+  SELECT k.doc_id,
+         CAST(len(k.lw) AS DOUBLE) AS nt,
+         CAST(len(regexp_replace(k.t, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           AS alpha,
+         CAST(len(k.t) AS DOUBLE) AS nc,
+         CAST(len(list_filter(k.lw, x -> x IN ({stops}))) AS DOUBLE)
+           AS stop_hits,
+         CASE WHEN len(k.rw) > 0
+              THEN round(ln(len(k.rw))
+                         - coalesce(e.sumclogc, 0) / len(k.rw), 6)
+              ELSE 0.0 END AS entropy,
+         CAST(len(k.gw) AS DOUBLE) AS tw,
+         CAST(len(list_distinct(k.gw)) AS DOUBLE) AS dw,
+         coalesce(tp.twc, 0.0) AS twc
+  FROM tok k
+  LEFT JOIN ent e USING (doc_id)
+  LEFT JOIN top tp USING (doc_id)
+), feats AS (
+  SELECT doc_id, nt AS n_tokens,
+         CASE WHEN nt > 0 THEN alpha / nt ELSE 0.0 END AS mean_word_len,
+         CASE WHEN nc > 0 THEN alpha / nc ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN nt > 0 THEN stop_hits / nt ELSE 0.0 END AS stop_ratio,
+         entropy,
+         CASE WHEN tw > 0 THEN CAST(1.0 AS DOUBLE) - dw / tw
+              ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN tw > 0 THEN twc / tw ELSE 0.0 END AS top_word_frac
+  FROM raw
+), scored AS (
+  SELECT doc_id, round({dot}, 6) AS logit FROM feats
+), gate AS ({_oracle_curation_gate()})
+SELECT s.doc_id, s.logit, s.logit >= CAST(0.0 AS DOUBLE) AS keep,
+       g.keep AS gate_keep
+FROM scored s JOIN gate g USING (doc_id)
+"""
 
 
 def q_corpus_diff(spark, sf_dir):
@@ -4825,6 +5045,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "curation_gate": q_curation_gate,
     "remove_dup_spans": q_remove_dup_spans,
+    "remove_long_repeats": q_remove_long_repeats,
     "curation_gate_extended": q_curation_gate_extended,
     "docs_token_stats": q_docs_token_stats,
     "docs_winnow": q_docs_winnow,
@@ -5008,6 +5229,7 @@ ORACLE_SQL = {
     "url_canonicalize": ORACLE_URL_CANONICALIZE,
     "curation_gate": _oracle_curation_gate(),
     "remove_dup_spans": ORACLE_REMOVE_DUP_SPANS,
+    "remove_long_repeats": _oracle_remove_long_repeats(),
     "curation_gate_extended": _oracle_curation_gate_extended(),
     "docs_token_stats": ORACLE_DOCS_TOKEN_STATS,
     "docs_winnow": ORACLE_DOCS_WINNOW,
@@ -5021,6 +5243,7 @@ ORACLE_SQL = {
     "line_dedup": ORACLE_LINE_DEDUP,
     "corpus_diff": ORACLE_CORPUS_DIFF,
     "docs_hash_embed": ORACLE_DOCS_HASH_EMBED,
+    "quality_filter": _oracle_quality_filter(),
     "sketch_distinct": ORACLE_SKETCH_DISTINCT,
     "sketch_source_overlap": ORACLE_SKETCH_OVERLAP,
     "semantic_dedup": _oracle_semantic_dedup(),

@@ -489,6 +489,39 @@ def test_quality_filter_distills_gate(spark):
     assert auc >= 0.9, auc
 
 
+def test_pinned_quality_artifact_matches_fresh_training(spark):
+    """The committed PINNED_QUALITY_MODEL (the battery's oracle-checked
+    deployment artifact) must stay faithful to what training produces
+    TODAY: retrain on the same slice/seed and require >= 0.98 keep-decision
+    agreement corpus-wide between the fresh model (p >= 0.5) and the
+    pinned native scorer (logit >= 0) — guards the constants against code
+    drift in the feature folds or the training recipe."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        curation_flags,
+    )
+    from entity_resolution_pipeline_spark.operators.quality_model import (
+        apply_quality_filter, doc_quality_features, score_quality_pinned,
+        train_quality_filter,
+    )
+    from pyspark.sql import functions as FF
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    feats = doc_quality_features(docs)
+    labeled = feats.join(
+        curation_flags(docs).select(
+            "doc_id", FF.col("keep").cast("double").alias("label")),
+        "doc_id")
+    asm, model = train_quality_filter(
+        labeled.where(FF.col("doc_id") % 2 == 0))
+    fresh = {r["doc_id"]: r["keep"] for r in
+             apply_quality_filter(feats, asm, model).collect()}
+    pinned = {r["doc_id"]: r["keep"] for r in
+              score_quality_pinned(feats).collect()}
+    assert set(fresh) == set(pinned)
+    agree = sum(fresh[i] == pinned[i] for i in fresh) / len(fresh)
+    assert agree >= 0.98, agree
+
+
 def test_corpus_diff_statuses(spark):
     from entity_resolution_pipeline_spark.operators.curation import corpus_diff
 

@@ -42,8 +42,16 @@ def norm_cell(v):
         return "NULL"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict)):
+        # DRIVER PARITY: the driver's canonicalizer pandas-sorts raw
+        # cells and throws on list values (round-4 regression:
+        # docs_winnow / docs_hash_embed passed here because this helper
+        # used to stringify lists, then went RED at the record of truth).
+        # Battery projections must serialize arrays/structs to scalars.
+        raise TypeError(
+            f"non-scalar cell {type(v).__name__} — driver canonicalizer "
+            "cannot sort this; serialize the column in the battery "
+            "projection (array_join/to_json)")
     return str(v)
 
 
@@ -129,8 +137,15 @@ def main() -> int:
                 oracle_rows=len(orows), err="rowcount mismatch")
             failures += 1
             continue
-        sn = normalize(srows, scols)
-        on = normalize(orows, ocols)
+        try:
+            sn = normalize(srows, scols)
+            on = normalize(orows, ocols)
+        except TypeError as e:  # non-scalar cell — same failure the
+            print(f"FAIL  {name}: {e}")  # driver record would show
+            rec(name, rows=True, schema=True, spark_rows=len(srows),
+                oracle_rows=len(orows), err=f"canonicalize error: {e}")
+            failures += 1
+            continue
         if sn != on:
             diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
             print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
