@@ -20,6 +20,22 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "it": ["il", "la", "gli", "le", "e", "che", "un", "una", "di", "per"],
 }
 
+# Extended table for the per-language curation path (10 languages).
+# Kept SEPARATE from the 5-language core so every battery row / oracle /
+# pinned-model label built on the core keeps its exact round-1..4
+# semantics; words are diacritic-free because the [^a-z0-9']+ tokenizer
+# would split accented forms. Tokens shared across languages are fine —
+# the bitmask scorer counts them for every language listing them, and
+# argmax ties break to the earlier table entry on both engines.
+LANG_STOPWORDS_EXT: dict[str, list[str]] = {
+    **LANG_STOPWORDS,
+    "pt": ["de", "que", "o", "da", "do", "em", "um", "uma", "os", "com"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "je", "dat", "niet", "op"],
+    "sv": ["och", "att", "det", "som", "en", "av", "den", "till", "med", "han"],
+    "pl": ["nie", "to", "jest", "jak", "czy", "ale", "lub", "oraz", "dla", "jego"],
+    "tr": ["bir", "ve", "bu", "da", "ne", "ama", "gibi", "daha", "en", "ile"],
+}
+
 
 def _words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"[^a-z0-9']+"), lambda t: t != "")
@@ -36,24 +52,28 @@ def _bind(value: Column, fn) -> Column:
 
 # token → bitmask of languages listing it as a stopword (tokens shared
 # across languages get multiple bits)
-def _stop_mask_map() -> Column:
+def _stop_mask_map(table: dict[str, list[str]] | None = None) -> Column:
+    table = LANG_STOPWORDS if table is None else table
     masks: dict[str, int] = {}
-    for i, stops in enumerate(LANG_STOPWORDS.values()):
+    for i, stops in enumerate(table.values()):
         for s in stops:
             masks[s] = masks.get(s, 0) | (1 << i)
     return F.create_map(*[x for t, v in sorted(masks.items())
                           for x in (F.lit(t), F.lit(v))])
 
 
-def _stop_hit_counts(text: Column, finish) -> Column:
+def _stop_hit_counts(text: Column, finish,
+                     table: dict[str, list[str]] | None = None) -> Column:
     """Per-language stopword-hit counts in ONE tokenization + ONE
     traversal; ``finish(acc)`` receives the bound count array (index
-    order = LANG_STOPWORDS order). The round-1 shape — one
-    ``filter(w, isin(stops))`` per language — re-tokenized the text and
-    re-scanned the token array once per language (interpreted lambdas,
-    no CSE): measured 5-7× the work of this fold."""
-    m = _stop_mask_map()
-    n = len(LANG_STOPWORDS)
+    order = the stopword table's order, default LANG_STOPWORDS). The
+    round-1 shape — one ``filter(w, isin(stops))`` per language —
+    re-tokenized the text and re-scanned the token array once per
+    language (interpreted lambdas, no CSE): measured 5-7× the work of
+    this fold."""
+    table = LANG_STOPWORDS if table is None else table
+    m = _stop_mask_map(table)
+    n = len(table)
     idx = F.sequence(F.lit(0), F.lit(n - 1))
     return F.aggregate(
         _words(text),
@@ -73,23 +93,29 @@ def _stop_hit_counts(text: Column, finish) -> Column:
     )
 
 
-def lang_scores_col(text: Column) -> Column:
+def lang_scores_col(text: Column,
+                    table: dict[str, list[str]] | None = None) -> Column:
     """Struct of per-language stopword-hit counts (ints)."""
-    counts = _stop_hit_counts(text, lambda acc: acc)
+    table = LANG_STOPWORDS if table is None else table
+    counts = _stop_hit_counts(text, lambda acc: acc, table)
     return _bind(counts, lambda c: F.struct(*[
-        c[i].cast("int").alias(lang) for i, lang in enumerate(LANG_STOPWORDS)
+        c[i].cast("int").alias(lang) for i, lang in enumerate(table)
     ]))
 
 
-def lang_id_col(text: Column) -> Column:
+def lang_id_col(text: Column,
+                table: dict[str, list[str]] | None = None) -> Column:
     """argmax language by stopword hits; 'und' (undetermined) when all zero.
 
-    Ties break toward the earlier language in LANG_STOPWORDS order
+    Ties break toward the earlier language in the stopword table's order
     (array_position returns the FIRST maximum), matching the round-1
-    strictly-decreasing-epsilon formulation.
+    strictly-decreasing-epsilon formulation. ``table`` defaults to the
+    5-language LANG_STOPWORDS core; pass LANG_STOPWORDS_EXT for the
+    10-language curation path.
     """
-    langs = F.array(*[F.lit(lang) for lang in LANG_STOPWORDS])
-    idx0 = F.sequence(F.lit(0), F.lit(len(LANG_STOPWORDS) - 1))
+    table = LANG_STOPWORDS if table is None else table
+    langs = F.array(*[F.lit(lang) for lang in table])
+    idx0 = F.sequence(F.lit(0), F.lit(len(table) - 1))
     return _stop_hit_counts(
         text,
         lambda acc: _bind(F.array_max(acc), lambda mx: F.when(
@@ -100,6 +126,7 @@ def lang_id_col(text: Column) -> Column:
                 acc, idx0,
                 lambda c, i: F.when(c == mx, i))).cast("int"))
         ).otherwise(F.lit("und"))),
+        table,
     )
 
 

@@ -30,6 +30,27 @@ CHUNK_STRIDE = 24         # overlap = CHUNK_SIZE - CHUNK_STRIDE = 8 words
 GATE_MAX_DUP_SPAN = 0.5   # extended gate: duplicated-span fraction cap
 GATE_MAX_PPL = 30.65      # extended gate: LM pseudo-perplexity cap (≈ corpus p75)
 
+# Per-language gate configuration (lang, min_quality, dup_word_pct cap,
+# top-word 1/x cap) — real curation gates tune thresholds per language
+# because the numeric signals are language-shifted (stopword-ratio terms
+# reward en; morphology inflates German distinct-word counts, so its
+# repetition caps loosen while its quality floor tightens). This is the
+# DEFAULT config the multilang gate broadcasts; callers override with
+# their own rows. Values straddle the corpus quality quartiles
+# (0.60-0.85) so languages genuinely gate differently at sf0.01.
+LANG_GATE_CONFIG: list[tuple[str, float, int, int]] = [
+    ("en", 0.65, 55, 10),
+    ("de", 0.68, 60, 8),
+    ("fr", 0.62, 60, 10),
+    ("es", 0.62, 55, 10),
+    ("it", 0.65, 55, 10),
+    ("pt", 0.60, 60, 10),
+    ("nl", 0.60, 60, 10),
+    ("sv", 0.60, 60, 10),
+    ("pl", 0.60, 60, 10),
+    ("tr", 0.60, 60, 10),
+]
+
 
 def curation_flags(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", extended: bool = False,
@@ -102,6 +123,63 @@ def curation_flags(docs: DataFrame, id_col: str = "doc_id",
     )
     out._erps_persisted = list(getattr(ppl, "_erps_persisted", None) or [])
     return out
+
+
+def curation_flags_multilang(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             config: list[tuple] | None = None) -> DataFrame:
+    """Per-LANGUAGE keep/drop gate: language ID over the 10-language
+    extended stopword table, then thresholds looked up from a BROADCAST
+    config dimension (not literals) — the same numeric quality /
+    repetition signals gate differently per language, which is how
+    production multilingual curation actually runs (per-language
+    configured thresholds over shared signal extractors).
+
+    Output: (id, lang_pred, lang_ok, quality_ok, repetition_ok, keep).
+    ``lang_ok`` = the predicted language appears in the config (an
+    allowed-language whitelist — 'und' and unlisted languages fail);
+    quality/repetition rules evaluate with the language's thresholds, or
+    the global defaults when the language is unlisted, so every flag is
+    defined for every row. Repetition caps stay INTEGER
+    cross-multiplications (per-language integer caps, no float division).
+
+    Scale shape: the signal extraction is the same zero-shuffle
+    projection as :func:`curation_flags`; the config join is an O(10)-row
+    broadcast hash join — at 100 TB the config rides the task closure and
+    the gate still never shuffles."""
+    from ..functions.textstats import (
+        LANG_STOPWORDS_EXT, lang_id_col, quality_score_col,
+        repetition_counts_col,
+    )
+
+    rows = LANG_GATE_CONFIG if config is None else config
+    cfg = docs.sparkSession.createDataFrame(
+        rows, "lang_pred string, min_quality double, dup_pct int, top_x int")
+    d = docs.select(
+        F.col(id_col),
+        lang_id_col(F.col(text_col), LANG_STOPWORDS_EXT).alias("lang_pred"),
+        quality_score_col(F.col(text_col)).alias("quality"),
+        repetition_counts_col(F.col(text_col)).alias("r"),
+    )
+    j = d.join(F.broadcast(cfg), "lang_pred", "left")
+    dup_pct = F.coalesce(F.col("dup_pct"), F.lit(GATE_DUP_WORD_PCT))
+    top_x = F.coalesce(F.col("top_x"), F.lit(GATE_TOP_WORD_X))
+    flags = j.select(
+        F.col(id_col), "lang_pred",
+        F.col("min_quality").isNotNull().alias("lang_ok"),
+        (F.col("quality")
+         >= F.coalesce(F.col("min_quality"), F.lit(GATE_MIN_QUALITY)))
+        .alias("quality_ok"),
+        (((F.col("r.total_words") - F.col("r.distinct_words")) * 100
+          <= F.col("r.total_words") * dup_pct)
+         & (F.col("r.top_word_count") * top_x
+            <= F.col("r.total_words"))).alias("repetition_ok"),
+    )
+    return flags.select(
+        id_col, "lang_pred", "lang_ok", "quality_ok", "repetition_ok",
+        (F.col("lang_ok") & F.col("quality_ok")
+         & F.col("repetition_ok")).alias("keep"),
+    )
 
 
 def chunk_documents(docs: DataFrame, id_col: str = "doc_id",

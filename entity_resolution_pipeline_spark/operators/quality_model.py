@@ -194,6 +194,40 @@ def distill_curation_gate(docs: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def save_pinned_quality_filter(path: str,
+                               coeffs: dict[str, float] | None = None,
+                               intercept: float | None = None,
+                               logit_threshold: float = 0.0) -> None:
+    """Persist the PINNED scorer as a plain-JSON S12 artifact (no
+    spark.ml classes — the deployment scorer is a native projection, so
+    the artifact is just numbers any job can broadcast)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "pinned_quality.json"), "w") as f:
+        json.dump({
+            "feature_cols": QUALITY_FEATURES,
+            "coefficients": (PINNED_QUALITY_COEFFS if coeffs is None
+                             else coeffs),
+            "intercept": (PINNED_QUALITY_INTERCEPT if intercept is None
+                          else intercept),
+            "logit_threshold": logit_threshold,
+            "model_type": "pinned_logit",
+        }, f, sort_keys=True)
+
+
+def load_pinned_quality_filter(path: str) -> tuple[dict, float, float]:
+    """Returns (coeffs, intercept, logit_threshold) from the JSON artifact."""
+    import json
+    import os
+
+    with open(os.path.join(path, "pinned_quality.json")) as f:
+        doc = json.load(f)
+    return (dict(doc["coefficients"]), float(doc["intercept"]),
+            float(doc["logit_threshold"]))
+
+
 def save_quality_filter(path: str, asm, model,
                         threshold: float = 0.5) -> None:
     """Persist assembler + LR + manifest (S12-style, mirroring

@@ -579,14 +579,15 @@ def q_docs_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
 
 
-def _oracle_lang_id() -> str:
+def _oracle_lang_id(table: dict[str, list[str]] | None = None) -> str:
+    table = LANG_STOPWORDS if table is None else table
     hit_cols = []
-    for lang, stops in LANG_STOPWORDS.items():
+    for lang, stops in table.items():
         inlist = ", ".join(f"'{s}'" for s in stops)
         hit_cols.append(
             f"len(list_filter(w, t -> t IN ({inlist}))) AS h_{lang}"
         )
-    langs = list(LANG_STOPWORDS)
+    langs = list(table)
     mx = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
     case = "CASE WHEN " + mx + " = 0 THEN 'und' "
     for l in langs:  # first language reaching the max wins (epsilon order)
@@ -3007,6 +3008,97 @@ SELECT doc_id, lang_ok, quality_ok, repetition_ok,
 FROM flags
 """
 
+
+def _lang_salt(lang: str) -> str:
+    """Deterministic language-marker salt: the language's first 8
+    stopwords repeated 3× (24 hits — strictly above the corpus's ≤8
+    natural en-stopword hits, so the salted language wins the argmax).
+    The raw synthetic text is English-ish word soup whatever the `lang`
+    column says; salting de/fr/es docs with their own function words is
+    what real multilingual pages look like to a stopword scorer."""
+    from ..functions.textstats import LANG_STOPWORDS_EXT
+
+    return " ".join(LANG_STOPWORDS_EXT[lang][:8] * 3)
+
+
+def q_curation_gate_multilang(spark, sf_dir):
+    """Per-LANGUAGE curation gate: language ID over the 10-language
+    extended stopword table, thresholds from a broadcast config dim
+    (en 0.65 / de 0.68 / fr-es 0.62 quality floors, per-language integer
+    repetition caps) — the same numeric signals genuinely gate
+    differently by predicted language (a 0.66-quality doc keeps as en,
+    drops as de; pytest pins the overlap non-vacuously). Docs whose
+    `lang` column says de/fr/es are salted with their language's function
+    words (see :func:`_lang_salt`) so all four languages + 'und' actually
+    occur; the oracle replays the salt, the extended lang-ID, the
+    signal extraction, and the config join rule-for-rule.
+    Library: operators/curation.py:curation_flags_multilang."""
+    from ..operators.curation import curation_flags_multilang
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.when(F.col("lang").isin("de", "fr", "es"),
+               F.concat(F.col("text"), F.lit(" "),
+                        F.when(F.col("lang") == "de",
+                               F.lit(_lang_salt("de")))
+                        .when(F.col("lang") == "fr", F.lit(_lang_salt("fr")))
+                        .otherwise(F.lit(_lang_salt("es")))))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return curation_flags_multilang(salted)
+
+
+def _oracle_curation_gate_multilang() -> str:
+    from ..functions.textstats import LANG_STOPWORDS_EXT
+    from ..operators.curation import (
+        GATE_DUP_WORD_PCT, GATE_MIN_QUALITY, GATE_TOP_WORD_X,
+        LANG_GATE_CONFIG,
+    )
+
+    cfg_rows = ", ".join(
+        f"('{lang}', CAST({mq!r} AS DOUBLE), {dup}, {topx})"
+        for lang, mq, dup, topx in LANG_GATE_CONFIG)
+    # shadow `documents` with the salted fixture (base view reached as
+    # main.documents — DuckDB flags the bare name inside the CTE body as
+    # a circular reference): every composed fragment below (lang-ID /
+    # quality / repetition, all `FROM documents`) then reads the salted
+    # text — the exact frame the Spark wrapper gates
+    return f"""
+WITH documents AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'de' THEN text || ' {_lang_salt("de")}'
+              WHEN lang = 'fr' THEN text || ' {_lang_salt("fr")}'
+              WHEN lang = 'es' THEN text || ' {_lang_salt("es")}'
+              ELSE text END AS text
+  FROM main.documents
+),
+lang AS ({_oracle_lang_id(LANG_STOPWORDS_EXT)}),
+qual AS ({ORACLE_DOCS_QUALITY}),
+rep AS ({ORACLE_DOCS_REPETITION}),
+cfg(lang_pred, min_quality, dup_pct, top_x) AS (VALUES {cfg_rows}),
+flags AS (
+  SELECT d.doc_id, l.lang_pred,
+         c.min_quality IS NOT NULL AS lang_ok,
+         q.quality >= coalesce(c.min_quality,
+                               CAST({GATE_MIN_QUALITY!r} AS DOUBLE))
+           AS quality_ok,
+         ((r.total_words - r.distinct_words) * 100
+            <= r.total_words * coalesce(c.dup_pct, {GATE_DUP_WORD_PCT})
+          AND r.top_word_count * coalesce(c.top_x, {GATE_TOP_WORD_X})
+            <= r.total_words) AS repetition_ok
+  FROM documents d
+  JOIN lang l USING (doc_id)
+  JOIN qual q USING (doc_id)
+  JOIN rep r USING (doc_id)
+  LEFT JOIN cfg c ON c.lang_pred = l.lang_pred
+)
+SELECT doc_id, lang_pred, lang_ok, quality_ok, repetition_ok,
+       (lang_ok AND quality_ok AND repetition_ok) AS keep
+FROM flags
+"""
+
+
 def q_docs_chunk(spark, sf_dir):
     """Fixed-window document chunking with overlap — the sample-prep step
     between curation and tokenization in a training-data pipeline (pack
@@ -4683,6 +4775,29 @@ FROM scored s JOIN gate g USING (doc_id)
 """
 
 
+def q_stream_quality_filter(spark, sf_dir):
+    """Ingest-time model-based quality filtering as a foreachBatch stream
+    (streaming/incremental.py:stream_quality_filter): the committed
+    pinned-coefficient artifact is saved as its JSON S12 form, loaded
+    back, and broadcast into every micro-batch's scoring projection —
+    the full artifact round-trip a production delta job runs. Scoring is
+    a pure per-row map (zero state), so the stream is batching-invariant
+    by construction and this row REUSES the batch quality_filter
+    full-plan oracle (features → pinned dot → 6dp logit → threshold,
+    plus the heuristic gate verdict for audit)."""
+    from ..operators.quality_model import save_pinned_quality_filter
+    from ..streaming.incremental import (
+        _tmp_sink_dir, stream_quality_filter,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    d = _tmp_sink_dir("inc_qfq_")  # atexit-cleaned
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    art = _tmp_sink_dir("inc_qfart_")
+    save_pinned_quality_filter(art)
+    return stream_quality_filter(spark, d, artifact_path=art, timeout_s=240)
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot-over-snapshot corpus diff (dataset-versioning audit):
     old = docs with doc_id % 5 != 0, new = docs with doc_id % 11 != 0 and
@@ -5039,6 +5154,7 @@ QUERIES = {
     "stream_semantic_dedup": q_stream_semantic_dedup,
     "stream_line_dedup": q_stream_line_dedup,
     "stream_fuzzy_decontaminate": q_stream_fuzzy_decontaminate,
+    "stream_quality_filter": q_stream_quality_filter,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
     "training_corpus_full": q_training_corpus_full,
@@ -5046,6 +5162,7 @@ QUERIES = {
     "curation_gate": q_curation_gate,
     "remove_dup_spans": q_remove_dup_spans,
     "remove_long_repeats": q_remove_long_repeats,
+    "curation_gate_multilang": q_curation_gate_multilang,
     "curation_gate_extended": q_curation_gate_extended,
     "docs_token_stats": q_docs_token_stats,
     "docs_winnow": q_docs_winnow,
@@ -5230,6 +5347,7 @@ ORACLE_SQL = {
     "curation_gate": _oracle_curation_gate(),
     "remove_dup_spans": ORACLE_REMOVE_DUP_SPANS,
     "remove_long_repeats": _oracle_remove_long_repeats(),
+    "curation_gate_multilang": _oracle_curation_gate_multilang(),
     "curation_gate_extended": _oracle_curation_gate_extended(),
     "docs_token_stats": ORACLE_DOCS_TOKEN_STATS,
     "docs_winnow": ORACLE_DOCS_WINNOW,
@@ -5270,5 +5388,6 @@ ORACLE_SQL = {
     "stream_semantic_dedup": _oracle_stream_semantic_dedup(),
     "stream_line_dedup": ORACLE_STREAM_LINE_DEDUP,
     "stream_fuzzy_decontaminate": _oracle_fuzzy_decontaminate(4),
+    "stream_quality_filter": _oracle_quality_filter(),
     "er_pipeline_clusters": ORACLE_ER_PIPELINE_CLUSTERS,
 }

@@ -1216,3 +1216,77 @@ def stream_bm25(
             [], "query_id bigint, doc_id bigint, bm25 double, rank int")
     return spark.read.option("basePath", out_dir).parquet(out_dir) \
         .select("query_id", "doc_id", "bm25", "rank")
+
+
+def stream_quality_filter(
+    spark: SparkSession,
+    delta_path: str,
+    artifact_path: str | None = None,
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Ingest-time model-based quality filtering: newly landed documents
+    stream through the PINNED quality scorer (the committed S12 artifact
+    — a JSON coefficient vector any job can broadcast), emitting
+    (doc_id, logit, keep, gate_keep) exactly like the batch
+    ``quality_filter`` row. Completes the batch/stream matrix for the
+    quality model the way decontamination/SemDeDup/BM25 already did.
+
+    Per-document scoring is a pure map (native feature folds + a literal
+    dot product — zero shuffle, zero state), so the stream is
+    batching-invariant BY CONSTRUCTION and the battery row reuses the
+    batch full-plan oracle. ``artifact_path`` loads coefficients from a
+    :func:`~..operators.quality_model.save_pinned_quality_filter`
+    artifact; None uses the committed PINNED constants directly. Same
+    exactly-once contract as every other incremental stream
+    (checkpointed file source + ``batch=<id>`` overwrite sinks).
+    """
+    from ..operators.curation import curation_flags
+    from ..operators.quality_model import (
+        doc_quality_features, load_pinned_quality_filter,
+        score_quality_pinned,
+    )
+
+    if artifact_path is not None:
+        coeffs, intercept, thr = load_pinned_quality_filter(artifact_path)
+    else:
+        coeffs, intercept, thr = None, None, 0.0
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(delta_path):
+        parent, fname = os.path.split(delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(delta_path)
+
+    if sink_dir is None:
+        sink_dir = _tmp_sink_dir("inc_qf_sink_")
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "scored")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        scored = score_quality_pinned(
+            doc_quality_features(batch), coeffs, intercept,
+            logit_threshold=thr)
+        gate = curation_flags(batch).select(
+            "doc_id", F.col("keep").alias("gate_keep"))
+        out = scored.select("doc_id", "logit", "keep").join(gate, "doc_id")
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, timeout_s, "incremental quality filter")
+    if not os.path.isdir(out_dir):  # empty delta: no batch ever fired
+        return spark.createDataFrame(
+            [], "doc_id bigint, logit double, keep boolean, "
+                "gate_keep boolean")
+    return spark.read.option("basePath", out_dir).parquet(out_dir) \
+        .select("doc_id", "logit", "keep", "gate_keep")

@@ -636,3 +636,78 @@ def test_hashed_tf_embedding_scalar_reference(spark):
         F.col("doc_id").alias("vec_id"), "embedding")
     out = semantic_dedup(emb, n_cells=2, threshold=0.99)
     assert out.count() == 4
+
+
+def test_multilang_gate_differential_decisions(spark):
+    """Per-language thresholds must make the SAME numeric signal gate
+    differently by language: on the battery fixture there is a quality
+    region where en passes (floor 0.65) and de fails (floor 0.68); the
+    extended lang-ID recognizes all ten languages; unlisted languages
+    fail lang_ok but still receive default-threshold signal flags."""
+    import pyspark.sql.functions as FF
+
+    from entity_resolution_pipeline_spark.functions.textstats import (
+        LANG_STOPWORDS_EXT, lang_id_col, quality_score_col,
+    )
+    from entity_resolution_pipeline_spark.operators.curation import (
+        curation_flags_multilang,
+    )
+    from entity_resolution_pipeline_spark.plans.benchqueries import (
+        _lang_salt, q_curation_gate_multilang,
+    )
+
+    # 1. the extended table identifies every new language from its markers
+    probe = spark.createDataFrame(
+        [(i, f"filler words {_lang_salt(lang)}")
+         for i, lang in enumerate(["pt", "nl", "sv", "pl", "tr"])],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in probe.select(
+        "doc_id", lang_id_col(FF.col("text"), LANG_STOPWORDS_EXT)
+        .alias("lang_pred")).collect()}
+    assert got == {0: "pt", 1: "nl", 2: "sv", 3: "pl", 4: "tr"}
+
+    # 2. overlapping-quality differential on the battery frame
+    flags = q_curation_gate_multilang(spark, "/root/testdata/sf0.01")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    salted = docs.select(
+        "doc_id",
+        FF.when(FF.col("lang").isin("de", "fr", "es"),
+                FF.concat(FF.col("text"), FF.lit(" "),
+                          FF.when(FF.col("lang") == "de",
+                                  FF.lit(_lang_salt("de")))
+                          .when(FF.col("lang") == "fr",
+                                FF.lit(_lang_salt("fr")))
+                          .otherwise(FF.lit(_lang_salt("es")))))
+        .otherwise(FF.col("text")).alias("text"))
+    q = salted.select(
+        "doc_id", quality_score_col(FF.col("text")).alias("quality"))
+    j = flags.join(q, "doc_id")
+    en_pass = [r["quality"] for r in
+               j.where("lang_pred = 'en' AND quality_ok").collect()]
+    de_fail = [r["quality"] for r in
+               j.where("lang_pred = 'de' AND NOT quality_ok").collect()]
+    assert en_pass and de_fail
+    assert min(en_pass) <= max(de_fail), (
+        "no overlapping quality region — per-language floors vacuous")
+    # the en docs inside the overlap PASS while de docs there FAIL
+    overlap_en = [v for v in en_pass if v <= max(de_fail)]
+    assert overlap_en, "differential never fires on identical signals"
+
+    # 3. unlisted language: lang_ok false, default-threshold flags defined
+    und = flags.where("lang_pred = 'und'")
+    n_und = und.count()
+    assert n_und > 0
+    assert und.where("lang_ok").count() == 0
+    assert und.where("quality_ok IS NULL OR repetition_ok IS NULL").count() == 0
+
+    # 4. config is data, not literals: loosening de's floor flips keeps
+    from entity_resolution_pipeline_spark.operators.curation import (
+        LANG_GATE_CONFIG,
+    )
+    loose = [("de", 0.0, dup, topx) if lang == "de" else
+             (lang, mq, dup, topx)
+             for lang, mq, dup, topx in LANG_GATE_CONFIG]
+    relaxed = curation_flags_multilang(salted, config=loose)
+    strict_keep = flags.where("lang_pred='de' AND keep").count()
+    loose_keep = relaxed.where("lang_pred='de' AND keep").count()
+    assert loose_keep > strict_keep

@@ -214,3 +214,55 @@ def test_stream_decontaminate_matches_batch_and_batching_invariant(
         sink_dir=os.path.join(tmp_root, "decon_sink_split")).collect())
     assert one == expected
     assert per_file == expected
+
+
+def test_stream_quality_filter_matches_batch_and_batching_invariant(
+        spark, tmp_root):
+    """The quality-filter ingest stream (pinned-artifact scoring) equals
+    the one-shot batch projection, drained as one micro-batch or
+    file-at-a-time, and the JSON artifact round-trip feeds the same
+    coefficients the committed constants hold."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from entity_resolution_pipeline_spark.operators.curation import (
+        curation_flags,
+    )
+    from entity_resolution_pipeline_spark.operators.quality_model import (
+        PINNED_QUALITY_COEFFS, PINNED_QUALITY_INTERCEPT,
+        doc_quality_features, load_pinned_quality_filter,
+        save_pinned_quality_filter, score_quality_pinned,
+    )
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_quality_filter,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    delta_dir = os.path.join(tmp_root, "qf_delta")
+    docs.repartition(3).write.mode("overwrite").parquet(delta_dir)
+    art = os.path.join(tmp_root, "qf_artifact")
+    save_pinned_quality_filter(art)
+    coeffs, intercept, thr = load_pinned_quality_filter(art)
+    assert coeffs == PINNED_QUALITY_COEFFS
+    assert intercept == PINNED_QUALITY_INTERCEPT and thr == 0.0
+
+    scored = score_quality_pinned(doc_quality_features(docs))
+    gate = curation_flags(docs).select(
+        "doc_id", F.col("keep").alias("gate_keep"))
+    expected = sorted(
+        (r["doc_id"], r["logit"], r["keep"], r["gate_keep"])
+        for r in scored.select("doc_id", "logit", "keep")
+        .join(gate, "doc_id").collect())
+    assert expected and any(not k for (_, _, k, _) in expected) \
+        and any(k for (_, _, k, _) in expected)
+
+    def run(sink, **kw):
+        rows = stream_quality_filter(
+            spark, delta_dir, artifact_path=art,
+            sink_dir=os.path.join(tmp_root, sink), **kw).collect()
+        return sorted((r["doc_id"], r["logit"], r["keep"], r["gate_keep"])
+                      for r in rows)
+
+    assert run("qf_sink_one") == expected
+    assert run("qf_sink_split", max_files_per_trigger=1) == expected
