@@ -301,3 +301,239 @@ def bpe_segment_sizes(docs: DataFrame, merges: list[tuple],
             "word", F.size(_merge_fold_expr(merges)).alias("n_sub"))
     return vocab.select(
         "word", _merge_pandas_udf(merges)(F.col("word")).alias("n_sub"))
+
+
+# --- Unigram-LM (SentencePiece-style) tokenizer ------------------------------
+#
+# Kudo 2018 (arXiv:1804.10959), simplified to stay deterministic and
+# SQL-replayable (documented deviations):
+#   * hard-EM (Viterbi counts) instead of full forward-backward expected
+#     counts — the E-step segments each word with the current piece
+#     log-probs and counts the pieces of the single best segmentation;
+#   * a FIXED seed vocabulary (all single chars + the top frequent
+#     substrings up to UNIGRAM_MAXP chars) with add-one smoothing at every
+#     M-step, instead of the paper's seed-then-prune schedule — no piece
+#     ever reaches probability zero, so the DP is total and the iteration
+#     count is the only schedule knob.
+# Distributed shape mirrors BPE above: ONE corpus pass builds the word
+# frequency table; every EM iteration is a vocabulary-sized aggregation
+# (Viterbi fold over the word table + a weighted piece count) plus a
+# vocab-sized collect — piece probabilities are driver state exactly like
+# the BPE merge table / PQ codebooks. Applying the tokenizer to a corpus
+# is a dictionary join on the word key, never a per-document DP replay.
+
+UNIGRAM_MAXP = 4      # max piece length in chars
+UNIGRAM_VOCAB = 60    # seed vocabulary budget (chars are always kept)
+
+
+def _viterbi_state_col(word, logp: dict[str, float],
+                       max_len: int = UNIGRAM_MAXP) -> F.Column:
+    """struct(s, seg): best log-prob segmentation of ``word`` under the
+    driver-state piece log-probs, as ONE left fold (dp over prefix
+    lengths; candidates are the ≤``max_len`` trailing pieces; ties break
+    to the LONGER piece via struct-max on (score, k) — the identical rule
+    the DuckDB recursive replica applies, so segmentations are
+    bit-identical cross-engine). Every single character of the corpus is
+    in the vocabulary by construction, so the DP is always feasible."""
+    m = F.create_map(*[x for p, lp in sorted(logp.items())
+                       for x in (F.lit(p), F.lit(float(lp)))])
+    n = F.length(word)
+    init = F.array(F.struct(
+        F.lit(0.0).alias("s"), F.array().cast("array<string>").alias("seg")))
+
+    def step(acc, j):
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.least(j, F.lit(max_len))),
+                lambda k: F.transform(  # bind piece + prev dp entry once
+                    F.array(F.struct(
+                        F.substring(word, j - k + 1, k).alias("piece"),
+                        F.element_at(acc, j - k + 1).alias("prev"))),
+                    lambda b: F.when(
+                        m[b["piece"]].isNotNull(),
+                        F.struct(
+                            (b["prev"]["s"] + m[b["piece"]]).alias("s"),
+                            k.cast("int").alias("k"),
+                            F.concat(b["prev"]["seg"],
+                                     F.array(b["piece"])).alias("seg"),
+                        )),
+                )[0]),
+            lambda c: c.isNotNull())
+        best = F.array_max(cands)
+        return F.concat(acc, F.array(F.struct(
+            best["s"].alias("s"), best["seg"].alias("seg"))))
+
+    return F.element_at(F.aggregate(F.sequence(F.lit(1), n), init, step), -1)
+
+
+def _unigram_logp(counts: dict[str, int]) -> dict[str, float]:
+    """Add-one-smoothed piece log-probs, rounded to 6dp so the literals
+    the Spark DP adds are the exact doubles the oracle's round(ln(...), 6)
+    produces."""
+    import math
+
+    total = sum(counts.values())
+    v = len(counts)
+    return {p: round(math.log((c + 1) / (total + v)), 6)
+            for p, c in counts.items()}
+
+
+def unigram_train_states(docs: DataFrame, vocab_size: int = UNIGRAM_VOCAB,
+                         n_em: int = 2, max_len: int = UNIGRAM_MAXP,
+                         text_col: str = "text"
+                         ) -> tuple[list, dict, DataFrame]:
+    """Run seed + ``n_em`` hard-EM iterations; returns
+    (final [(piece, cnt)] in (cnt DESC, piece ASC) order, final logp map,
+    persisted word table). Caller owns the persist."""
+    words = _word_counts(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # seed: all substrings up to max_len, weighted by word frequency,
+    # overlapping occurrences counted (what a suffix-array seeder sees)
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.least(F.length("word"), F.lit(max_len))),
+        lambda k: F.transform(
+            F.sequence(F.lit(1), F.length("word") - k + 1),
+            lambda i: F.substring(F.col("word"), i, k)),
+    ))
+    counts_df = (
+        words.select("wc", F.explode(subs).alias("piece"))
+        .groupBy("piece").agg(F.sum("wc").alias("cnt"))
+    )
+    chars = counts_df.where(F.length("piece") == 1).collect()
+    assert len(chars) < vocab_size, "vocab budget below character coverage"
+    multi = (
+        counts_df.where(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(vocab_size - len(chars)).collect()
+    )
+    counts = {r["piece"]: int(r["cnt"]) for r in [*chars, *multi]}
+
+    for _ in range(n_em):
+        lp = _unigram_logp(counts)
+        seg = words.select(
+            "wc", _viterbi_state_col(F.col("word"), lp, max_len)["seg"]
+            .alias("seg"))
+        got = {
+            r["piece"]: int(r["n"]) for r in
+            seg.select("wc", F.explode("seg").alias("piece"))
+            .groupBy("piece").agg(F.sum("wc").alias("n")).collect()
+        }
+        counts = {p: got.get(p, 0) for p in counts}  # fixed vocab, 0 ok
+
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ordered, _unigram_logp(counts), words
+
+
+_PIECE_SCHEMA = T.StructType([
+    T.StructField("rank", T.IntegerType(), False),
+    T.StructField("piece", T.StringType(), False),
+    T.StructField("cnt", T.LongType(), False),
+    T.StructField("logp", T.DoubleType(), False),
+])
+
+
+def unigram_train(docs: DataFrame, vocab_size: int = UNIGRAM_VOCAB,
+                  n_em: int = 2, max_len: int = UNIGRAM_MAXP,
+                  text_col: str = "text") -> DataFrame:
+    """Train the unigram-LM tokenizer; returns the piece table
+    (rank, piece, cnt, logp) ranked by (cnt DESC, piece ASC) — tokenizer
+    driver state, like the BPE merge table."""
+    ordered, lp, words = unigram_train_states(
+        docs, vocab_size, n_em, max_len, text_col)
+    words.unpersist()
+    rows = [(i + 1, p, c, lp[p]) for i, (p, c) in enumerate(ordered)]
+    return docs.sparkSession.createDataFrame(rows, schema=_PIECE_SCHEMA)
+
+
+def unigram_token_stats(docs: DataFrame, vocab_size: int = UNIGRAM_VOCAB,
+                        n_em: int = 2, max_len: int = UNIGRAM_MAXP,
+                        text_col: str = "text",
+                        group_col: str = "source") -> DataFrame:
+    """Apply the freshly trained unigram tokenizer back to the corpus:
+    per-``group_col`` (n_words, n_pieces, avg_pieces_per_word). The word
+    table is Viterbi-segmented ONCE with the final probabilities and the
+    corpus dictionary-joins the word→|segmentation| sizes — the same
+    scale-correct encode shape as :func:`bpe_token_stats`."""
+    _, lp, words = unigram_train_states(
+        docs, vocab_size, n_em, max_len, text_col)
+    sizes = words.select(
+        "word",
+        F.size(_viterbi_state_col(F.col("word"), lp, max_len)["seg"])
+        .alias("n_sub"))
+    corpus = docs.select(
+        F.col(group_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                             r"\s+"),
+                     lambda t: t != "")).alias("word"))
+    out = (
+        corpus.join(sizes, "word")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_pieces"),
+            F.round(F.avg("n_sub"), 6).alias("avg_pieces_per_word"),
+        )
+    )
+    out._erps_persisted = [words]
+    return out
+
+
+def save_unigram_tokenizer(path: str, pieces: list[tuple] | DataFrame) -> None:
+    """Persist the piece table as a JSON artifact (S12-style, the
+    sentencepiece .model analog — the (piece, logp) list IS the whole
+    tokenizer)."""
+    import json
+    import os
+
+    if isinstance(pieces, DataFrame):
+        pieces = [tuple(r) for r in pieces.orderBy("rank").collect()]
+    os.makedirs(path, exist_ok=True)
+    doc = {"version": 1, "algorithm": "unigram-viterbi-em",
+           "pieces": [{"rank": int(rk), "piece": p, "count": int(c),
+                       "logp": float(lp)}
+                      for rk, p, c, lp in pieces]}
+    with open(os.path.join(path, "unigram.json"), "w") as f:
+        json.dump(doc, f, sort_keys=True)
+
+
+def load_unigram_tokenizer(path: str) -> list[tuple]:
+    """Load the piece list back: [(rank, piece, count, logp)]."""
+    import json
+    import os
+
+    with open(os.path.join(path, "unigram.json")) as f:
+        doc = json.load(f)
+    return [(pc["rank"], pc["piece"], pc["count"], pc["logp"])
+            for pc in sorted(doc["pieces"], key=lambda pc: pc["rank"])]
+
+
+def unigram_segment_with(docs: DataFrame, pieces: list[tuple],
+                         text_col: str = "text",
+                         group_col: str = "source",
+                         max_len: int = UNIGRAM_MAXP) -> DataFrame:
+    """Apply a LOADED unigram artifact to a new corpus (no retraining):
+    derive the corpus's word table, Viterbi-segment it with the
+    artifact's log-probs, dictionary-join the sizes — the inference path,
+    mirroring :func:`bpe_segment_with`."""
+    lp = {p: float(l) for _, p, _, l in pieces}
+    words = _word_counts(docs, text_col)
+    sizes = words.select(
+        "word",
+        F.size(_viterbi_state_col(F.col("word"), lp, max_len)["seg"])
+        .alias("n_sub"))
+    corpus = docs.select(
+        F.col(group_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                             r"\s+"),
+                     lambda t: t != "")).alias("word"))
+    return (
+        corpus.join(sizes, "word")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_pieces"),
+            F.round(F.avg("n_sub"), 6).alias("avg_pieces_per_word"),
+        )
+    )

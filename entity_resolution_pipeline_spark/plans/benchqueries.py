@@ -733,6 +733,147 @@ def _oracle_minhash_sigs(n_bands: int = 4) -> str:
 LSH_STOP = 200  # degenerate-bucket guard: >200 members at sf-scale = no signal
 
 
+UNIGRAM_V = 60       # battery vocab budget (chars + top substrings)
+UNIGRAM_ITERS = 2    # hard-EM iterations replayed by the oracle
+
+
+def q_unigram_train(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer training:
+    seed vocabulary = all chars + top frequent substrings (≤4 chars,
+    frequency-weighted, overlapping), then 2 hard-EM iterations — each
+    Viterbi-segments the WORD TABLE (corpus touched once) with the
+    current add-one-smoothed piece log-probs and re-counts pieces from
+    the best segmentations. Returns the ranked piece table
+    (rank, piece, cnt, logp). The oracle replays the seed selection and
+    BOTH EM iterations, with the Viterbi DP as a recursive CTE whose
+    (score, longer-piece) tie-break matches the Spark fold bit-for-bit.
+    Library: operators/tokenizer.py:unigram_train."""
+    from ..operators.tokenizer import unigram_train
+
+    return unigram_train(_t_wide(spark, sf_dir, "documents"),
+                         vocab_size=UNIGRAM_V, n_em=UNIGRAM_ITERS)
+
+
+def q_unigram_segment(spark, sf_dir):
+    """Apply the trained unigram tokenizer back to the corpus:
+    per-source (n_words, n_pieces, avg_pieces_per_word) via ONE Viterbi
+    pass over the word table + a dictionary join on the word key (the
+    same scale-correct encode as bpe_segment — never a per-document DP).
+    Library: operators/tokenizer.py:unigram_token_stats."""
+    from ..operators.tokenizer import unigram_token_stats
+
+    return unigram_token_stats(_t_wide(spark, sf_dir, "documents"),
+                               vocab_size=UNIGRAM_V, n_em=UNIGRAM_ITERS)
+
+
+def _oracle_unigram(n_em: int, mode: str) -> str:
+    """Generated DuckDB replica of the full unigram-LM training loop:
+    seed substring counts + top-V selection, then per iteration a
+    recursive-CTE Viterbi DP (struct-MAX on (score, piece-length) — the
+    exact tie-break of the Spark fold) and the weighted piece recount
+    with add-one smoothing. ``mode``: "train" emits the ranked piece
+    table; "segment" dictionary-joins the final segmentation sizes back
+    to the corpus words per source."""
+    from ..operators.tokenizer import UNIGRAM_MAXP
+
+    parts = [rf"""
+WITH RECURSIVE w AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                 '\s+'),
+                  x -> x <> '')) AS word FROM documents)
+  GROUP BY word
+), ks AS (SELECT unnest(generate_series(1, {UNIGRAM_MAXP})) AS k),
+sub AS (
+  SELECT piece, SUM(wc) AS cnt FROM (
+    SELECT s.wc, substring(s.word, g.i, s.k) AS piece
+    FROM (SELECT word, wc,
+                 unnest(generate_series(1, least(length(word),
+                                                 {UNIGRAM_MAXP}))) AS k
+          FROM w) s,
+         unnest(generate_series(1, length(s.word) - s.k + 1)) AS g(i)
+  ) GROUP BY piece
+),
+chars AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1),
+multi AS (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM sub WHERE length(piece) > 1)
+  WHERE rn <= {UNIGRAM_V} - (SELECT COUNT(*) FROM chars)
+),
+c0 AS MATERIALIZED (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+v0 AS MATERIALIZED (
+  SELECT piece,
+         round(ln((cnt + 1.0) / ((SELECT SUM(cnt) FROM c0)
+                                 + (SELECT COUNT(*) FROM c0))), 6) AS logp
+  FROM c0
+)"""]
+    for it in range(1, n_em + 1):
+        p = it - 1
+        parts.append(f""",
+dp{it} AS (
+  SELECT word, wc, 0 AS j,
+         [CAST(0.0 AS DOUBLE)] AS scores,
+         [CAST([] AS VARCHAR[])] AS segs
+  FROM w
+  UNION ALL
+  SELECT word, wc, j + 1 AS j,
+         list_append(scores, best['s']) AS scores,
+         list_append(segs, best['seg']) AS segs
+  FROM (
+    SELECT d.word, d.wc, d.j, d.scores, d.segs,
+           MAX({{'s': d.scores[d.j + 2 - k.k] + v.logp,
+                'k': k.k,
+                'seg': list_append(d.segs[d.j + 2 - k.k], v.piece)}}) AS best
+    FROM dp{it} d
+    JOIN ks k ON k.k <= d.j + 1
+    JOIN v{p} v ON v.piece = substring(d.word, d.j + 2 - k.k, k.k)
+    WHERE d.j < length(d.word)
+    GROUP BY d.word, d.wc, d.j, d.scores, d.segs
+  )
+),
+seg{it} AS MATERIALIZED (
+  SELECT word, wc, segs[length(word) + 1] AS seg
+  FROM dp{it} WHERE j = length(word)
+),
+g{it} AS (
+  SELECT piece, SUM(wc) AS n FROM (
+    SELECT wc, unnest(seg) AS piece FROM seg{it}) GROUP BY piece
+),
+c{it} AS MATERIALIZED (
+  SELECT c.piece, CAST(coalesce(g.n, 0) AS BIGINT) AS cnt
+  FROM c0 c LEFT JOIN g{it} g ON c.piece = g.piece
+),
+v{it} AS MATERIALIZED (
+  SELECT piece,
+         round(ln((cnt + 1.0) / ((SELECT SUM(cnt) FROM c{it})
+                                 + (SELECT COUNT(*) FROM c{it}))), 6) AS logp
+  FROM c{it}
+)""")
+    if mode == "train":
+        parts.append(f"""
+SELECT CAST(row_number() OVER (ORDER BY c.cnt DESC, c.piece ASC) AS INTEGER)
+         AS rank,
+       c.piece, c.cnt, v.logp
+FROM c{n_em} c JOIN v{n_em} v ON c.piece = v.piece
+""")
+    else:
+        parts.append(rf"""
+SELECT d.source, COUNT(*) AS n_words,
+       CAST(SUM(len(s.seg)) AS BIGINT) AS n_pieces,
+       round(AVG(len(s.seg)), 6) AS avg_pieces_per_word
+FROM (SELECT source,
+             unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                   '\s+'),
+                    x -> x <> '')) AS word
+      FROM documents) d
+JOIN seg{n_em} s USING (word)
+GROUP BY d.source
+""")
+    return "".join(parts)
+
+
 def q_dedup_lsh_pairs(spark, sf_dir):
     """LSH candidate pairs: ids sharing ≥1 MinHash band bucket (stop-key
     guarded — degenerate buckets are dropped, the skew story of blocking)."""
@@ -5135,25 +5276,28 @@ GROUP BY d.source
 
 
 QUERIES = {
-    # ORDER = driver-record priority. Round 2's correctness record clipped
-    # the tail of the battery (exactly 50 of 52 rows landed), so the dict
-    # is ordered most-novel-first: flagship + streaming + every
-    # LLM-data-pipeline operator family sits in the first 50 entries, and
-    # the classic relational rows (plain ANSI SQL, lowest re-verification
-    # cost for a reviewer) form the tail that a budget would clip.
-    # flagship end-to-end pipeline + stateful streaming first
+    # ORDER = driver-record priority (the driver record caps at 50 rows).
+    # Round-5 window policy (round-4 verdict ask #8 + advisor): the first
+    # 50 entries hold (a) the flagship + the stateful/corpus-state streams,
+    # (b) every round-5 row, (c) the three round-4 regressions now fixed
+    # (docs_winnow / quality_filter / docs_hash_embed), and (d) FOUR rows
+    # ROTATED BACK IN that were absent from round 4's window so legacy
+    # operators periodically re-earn driver-green (dedup_exact,
+    # dedup_minhash_sigs, dedup_simhash — r1 rows living on local records
+    # since r3 — plus bm25_topk, whose batch plan was never driver-checked).
+    # Six delta-probes-static streams rotate OUT to make room: each is
+    # batching-invariant by construction, was driver-green in r04, and
+    # shares its oracle with a batch row that STAYS in the window
+    # (stream_decontaminate/decontaminate, stream_fuzzy_decontaminate/
+    # fuzzy_decontaminate, stream_line_dedup/line_dedup,
+    # stream_strip_spans/remove_dup_spans, stream_vocab/vocab_topk,
+    # stream_bm25/bm25_topk).
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "stream_sessionize": q_stream_sessionize,
     "incremental_near_dup": q_incremental_near_dup,
     "stream_curation": q_stream_curation,
-    "stream_decontaminate": q_stream_decontaminate,
     "stream_ann": q_stream_ann,
-    "stream_vocab": q_stream_vocab,
-    "stream_strip_spans": q_stream_strip_spans,
-    "stream_bm25": q_stream_bm25,
     "stream_semantic_dedup": q_stream_semantic_dedup,
-    "stream_line_dedup": q_stream_line_dedup,
-    "stream_fuzzy_decontaminate": q_stream_fuzzy_decontaminate,
     "stream_quality_filter": q_stream_quality_filter,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
@@ -5186,27 +5330,38 @@ QUERIES = {
     "docs_hash_embed": q_docs_hash_embed,
     "sketch_distinct": q_sketch_distinct,
     "sketch_source_overlap": q_sketch_source_overlap,
-    # tokenizer induction (distributed BPE)
+    # tokenizer induction (distributed BPE + unigram-LM)
     "bpe_train": q_bpe_train,
     "bpe_segment": q_bpe_segment,
-    # dedup
+    "unigram_train": q_unigram_train,
+    "unigram_segment": q_unigram_segment,
+    # dedup (first three rotated back into the window this round)
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sigs": q_dedup_minhash_sigs,
+    "dedup_simhash": q_dedup_simhash,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "dedup_canonical": q_dedup_canonical,
     "semantic_dedup": q_semantic_dedup,
-    # embeddings (newest-first so fresh rows land in the 50-row driver
-    # record; the older rows are green in prior driver records AND in the
-    # committed full-battery local records every round)
+    # retrieval (batch BM25's first driver check) — window ends here
+    "bm25_topk": q_bm25_topk,
+    # ---- tail: rows a 50-row budget clips ----
+    # delta-probes-static streams rotated out this round (see header note)
+    "stream_decontaminate": q_stream_decontaminate,
+    "stream_fuzzy_decontaminate": q_stream_fuzzy_decontaminate,
+    "stream_line_dedup": q_stream_line_dedup,
+    "stream_strip_spans": q_stream_strip_spans,
+    "stream_vocab": q_stream_vocab,
+    "stream_bm25": q_stream_bm25,
+    # embeddings (driver-green r03/r04 + every committed local record)
     "ann_sq": q_ann_sq,
     "ann_ivf_sq": q_ann_ivf_sq,
     "ann_ivf_pq": q_ann_ivf_pq,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
-    # retrieval (lexical + hybrid fusion)
-    "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_srp": q_embedding_near_dup_srp,
@@ -5253,12 +5408,8 @@ QUERIES = {
     "prose_legal_name": q_prose_legal_name,
     # structured streaming (watermarked window agg)
     "stream_windowed_counts": q_stream_windowed_counts,
-    # relational battery (TPC-H-ish tail) + long-verified r1 rows
-    # rotated out of the 50-row driver window (green in every committed
+    # relational battery (TPC-H-ish tail; green in every committed
     # full-battery local record)
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_sigs": q_dedup_minhash_sigs,
-    "dedup_simhash": q_dedup_simhash,
     "tpch_q1": q_tpch_q1,
     "revenue_by_region": q_revenue_by_region,
     "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -5367,6 +5518,8 @@ ORACLE_SQL = {
     "semantic_dedup": _oracle_semantic_dedup(),
     "bpe_train": _oracle_bpe(BPE_MERGES, "train"),
     "bpe_segment": _oracle_bpe(BPE_MERGES, "segment"),
+    "unigram_train": _oracle_unigram(UNIGRAM_ITERS, "train"),
+    "unigram_segment": _oracle_unigram(UNIGRAM_ITERS, "segment"),
     "training_corpus": _oracle_training_corpus(),
     "training_corpus_full": _oracle_training_corpus_full(),
     "corpus_length_stats": ORACLE_CORPUS_LENGTH_STATS,
