@@ -811,11 +811,15 @@ def remove_long_repeats(docs: DataFrame, id_col: str = "doc_id",
 
     Plan shape at 100 TB: the doubling fingerprints are a zero-shuffle
     projection (O(n log L) per doc, see :func:`_window_fingerprints`);
-    one map-side-combined exchange counts window-hash occurrences; covered
-    word indices are an equi-join on the window hash plus a ×L map-side
-    expansion bounded by actual duplication; the rebuild is the shared
-    per-doc aggregation. Two shuffles total — identical exchange structure
-    to :func:`remove_duplicate_spans`, independent of L.
+    one map-side-combined exchange counts window-hash occurrences; the
+    duplicated-window set is tiny so its joins broadcast (AQE-verified at
+    sf0.01: shuffles land only on the hash count and the two id-keyed
+    rebuild exchanges — the same exchange family as
+    :func:`remove_duplicate_spans`); the ×L coverage expansion is
+    map-side and bounded by actual duplication. Crucially the exchange
+    structure is INDEPENDENT of L — raising the 50-token threshold costs
+    only log-factor map work, where a naive L-gram shingle table would
+    ship L× the corpus.
     """
     wr = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     base = docs.select(F.col(id_col).alias("id"), wr.alias("w"))

@@ -574,6 +574,83 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
     return out
 
 
+def semantic_dedup_cc(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", n_cells: int = 16,
+                      threshold: float = 0.95, seed: int = 42) -> DataFrame:
+    """SemDeDup with the CONNECTED-COMPONENT keeper rule (the
+    "keep one per duplicate group" reading of Abbas et al. 2023): the
+    thresholded within-cell cosine pairs form an edge set, transitive
+    closure groups them, and exactly ONE vector per component survives —
+    the round-4 advisor's suggested alternative to
+    :func:`semantic_dedup`'s one-pass greedy rule.
+
+    Semantics triangle, explicitly: (1) one-pass greedy (semantic_dedup)
+    drops x if ANY smaller-id in-cell neighbor is ≥ τ, even a dropped
+    one — cheapest, one self-join, may cascade-drop; (2) THIS operator
+    keeps exactly one representative per cosine-connected component —
+    most aggressive pruning with a group-count guarantee, costs the
+    iterative closure; (3) the paper's sequential greedy (keep x iff no
+    KEPT smaller neighbor — a lexicographic maximal independent set) is
+    inherently order-sequential and implemented by neither. Keepers here
+    are a SUBSET of (1)'s: a component's representative has no smaller
+    neighbor at all, so greedy keeps it too.
+
+    Component LABELS come from the CC operator's string-keyed closure
+    (operators/clustering.py url semantics), but the REPRESENTATIVE is
+    the component's NUMERIC minimum id (one extra component-sized
+    aggregation) — string-min would pick "10" over "2" and silently break
+    the keeper⊆greedy containment (caught by the pytest). Scale shape:
+    same cell-bounded Σ|cell|² pair scan as semantic_dedup, then
+    large-star/small-star over the (tiny) above-threshold edge set; the
+    closure iterates over edges only, never vectors.
+    """
+    from .ann import ivf_assign_cells
+    from .clustering import assign_clusters
+
+    _, assigned = ivf_assign_cells(emb, n_cells, id_col, vec_col, seed)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = assigned.select(
+        F.col(id_col).alias("id"), "cell_id", vd.alias("v"),
+        F.sqrt(F.aggregate(F.transform(vd, lambda x: x * x),
+                           F.lit(0.0), lambda acc, x: acc + x)).alias("nrm"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = base.select("cell_id", F.col("id").alias("id_a"),
+                    F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    b = base.select("cell_id", F.col("id").alias("id_b"),
+                    F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    dot = F.aggregate(F.zip_with(F.col("v_a"), F.col("v_b"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                 dot / (F.col("n_a") * F.col("n_b"))).otherwise(F.lit(0.0))
+    edges = (
+        a.join(b, "cell_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cos, 6) >= threshold)
+        .select(F.col("id_a").cast("string").alias("src"),
+                F.col("id_b").cast("string").alias("dst"))
+    )
+    labels = assign_clusters(
+        base.select(F.col("id").cast("string").alias("url")), edges)
+    lbl = (
+        base.select("id", "cell_id")
+        .join(labels.select(F.col("url"), F.col("cluster_id")),
+              base["id"].cast("string") == F.col("url"))
+        .select("id", "cell_id", "cluster_id")
+    )
+    kmin = lbl.groupBy("cluster_id").agg(F.min("id").alias("_kid"))
+    out = (
+        lbl.join(kmin, "cluster_id")
+        .select(
+            F.col("id").alias(id_col), "cell_id",
+            (F.col("id") == F.col("_kid")).alias("is_keeper"),
+        )
+    )
+    out._erps_persisted = [
+        base, *(getattr(labels, "_erps_persisted", None) or [])]
+    return out
+
+
 # --- Benchmark decontamination ---------------------------------------------------
 
 

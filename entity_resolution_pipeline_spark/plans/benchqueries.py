@@ -4416,6 +4416,68 @@ FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
 """
 
 
+def q_semantic_dedup_cc(spark, sf_dir):
+    """SemDeDup with the keep-one-per-duplicate-GROUP keeper: thresholded
+    within-cell cosine pairs → transitive closure → exactly one keeper
+    per component (the component's NUMERIC min id) — the round-4
+    advisor's alternative to the one-pass greedy rule; both ship, callers
+    pick the semantics, and the keeper set here is provably a subset of
+    the greedy rule's (pytest-pinned). Oracle: the full IVF cell plan
+    plus a recursive-CTE closure (the connected_components oracle
+    pattern) over the thresholded pair set.
+    Library: operators/dedup.py:semantic_dedup_cc."""
+    from ..operators.dedup import semantic_dedup_cc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_cc(emb, n_cells=SEMDEDUP_CELLS,
+                             threshold=SEMDEDUP_THRESHOLD)
+
+
+def _oracle_semantic_dedup_cc() -> str:
+    cos_ac = _IVF_COS.format(a="v.e", b="cn.c")
+    cos_ab = _IVF_COS.format(a="a.e", b="b.e")
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY _h) AS INT) AS cell_id, e AS c
+  FROM (SELECT e, md5(CAST(vec_id AS VARCHAR) || ':42') AS _h
+        FROM v ORDER BY _h LIMIT {SEMDEDUP_CELLS})
+), asg AS (
+  SELECT v.vec_id, v.e, cn.cell_id,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY {cos_ac} DESC, cn.cell_id ASC) AS rn
+  FROM v CROSS JOIN cent cn
+), cells AS (
+  SELECT vec_id, e, cell_id FROM asg WHERE rn = 1
+), p0 AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM cells a JOIN cells b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE round({cos_ab}, 6) >= {SEMDEDUP_THRESHOLD}
+), e AS (
+  SELECT src, dst FROM p0 UNION SELECT dst, src FROM p0
+), reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src
+  WHERE r.a <> e2.dst
+), comp AS (
+  SELECT a AS vec_id,
+         MIN(least(CAST(a AS VARCHAR), CAST(b AS VARCHAR))) AS comp_str
+  FROM reach GROUP BY a
+), lab AS (
+  SELECT c.vec_id, c.cell_id,
+         coalesce(m.comp_str, CAST(c.vec_id AS VARCHAR)) AS comp
+  FROM cells c LEFT JOIN comp m ON c.vec_id = m.vec_id
+)
+SELECT vec_id, cell_id,
+       vec_id = MIN(vec_id) OVER (PARTITION BY comp) AS is_keeper
+FROM lab
+"""
+
+
 def q_stream_semantic_dedup(spark, sf_dir):
     """Incremental SemDeDup as a foreachBatch stream
     (streaming/incremental.py:stream_semantic_dedup): the curated corpus
@@ -5292,11 +5354,13 @@ QUERIES = {
     # fuzzy_decontaminate, stream_line_dedup/line_dedup,
     # stream_strip_spans/remove_dup_spans, stream_vocab/vocab_topk,
     # stream_bm25/bm25_topk).
+    # (stream_ann also rotates out — r04-green, oracle shared with the
+    # multi-round-proven ann_ivf — making room for semantic_dedup_cc's
+    # first driver check)
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "stream_sessionize": q_stream_sessionize,
     "incremental_near_dup": q_incremental_near_dup,
     "stream_curation": q_stream_curation,
-    "stream_ann": q_stream_ann,
     "stream_semantic_dedup": q_stream_semantic_dedup,
     "stream_quality_filter": q_stream_quality_filter,
     # training-data curation family (capstone first)
@@ -5345,10 +5409,12 @@ QUERIES = {
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "dedup_canonical": q_dedup_canonical,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_cc": q_semantic_dedup_cc,
     # retrieval (batch BM25's first driver check) — window ends here
     "bm25_topk": q_bm25_topk,
     # ---- tail: rows a 50-row budget clips ----
     # delta-probes-static streams rotated out this round (see header note)
+    "stream_ann": q_stream_ann,
     "stream_decontaminate": q_stream_decontaminate,
     "stream_fuzzy_decontaminate": q_stream_fuzzy_decontaminate,
     "stream_line_dedup": q_stream_line_dedup,
@@ -5516,6 +5582,7 @@ ORACLE_SQL = {
     "sketch_distinct": ORACLE_SKETCH_DISTINCT,
     "sketch_source_overlap": ORACLE_SKETCH_OVERLAP,
     "semantic_dedup": _oracle_semantic_dedup(),
+    "semantic_dedup_cc": _oracle_semantic_dedup_cc(),
     "bpe_train": _oracle_bpe(BPE_MERGES, "train"),
     "bpe_segment": _oracle_bpe(BPE_MERGES, "segment"),
     "unigram_train": _oracle_unigram(UNIGRAM_ITERS, "train"),

@@ -129,6 +129,71 @@ def test_semantic_dedup_keeper_rule(spark):
     assert {k for _, k in rows.values()} == {True, False}
 
 
+def test_semantic_dedup_cc_component_keeper(spark):
+    """The component-keeper variant: exactly ONE keeper per
+    cosine-connected component (the component's NUMERIC min id), its
+    keeper set is a SUBSET of the greedy rule's (a numeric-min
+    representative has no smaller neighbor at all — the very property a
+    string-min representative violated, which this test caught), and
+    isolated vectors are keepers under both rules."""
+    from entity_resolution_pipeline_spark.operators.dedup import (
+        semantic_dedup, semantic_dedup_cc,
+    )
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cc_df = semantic_dedup_cc(emb, n_cells=4, threshold=0.35)
+    cc = {r["vec_id"]: (r["cell_id"], r["is_keeper"])
+          for r in cc_df.collect()}
+    release_persisted(cc_df)
+    gr_df = semantic_dedup(emb, n_cells=4, threshold=0.35)
+    greedy = {r["vec_id"]: r["is_keeper"] for r in gr_df.collect()}
+    release_persisted(gr_df)
+    assert set(cc) == set(greedy)
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    # rebuild components with a scalar union-find over the same pairs
+    parent = {v: v for v in cc}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    by_cell: dict = {}
+    for vid, (cell, _) in cc.items():
+        by_cell.setdefault(cell, []).append(vid)
+    for cell, ids in by_cell.items():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if round(cos(vecs[a], vecs[b]), 6) >= 0.35:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[ra] = rb
+    comps: dict = {}
+    for v in cc:
+        comps.setdefault(find(v), []).append(v)
+    for members in comps.values():
+        keepers = [v for v in members if cc[v][1]]
+        rep = min(members)  # numeric-min, the operator's keeper rule
+        assert keepers == [rep] if len(members) > 1 else [members[0]]
+    # subset relation vs the greedy rule + non-vacuity
+    assert all(greedy[v] for v, (_, k) in cc.items() if k)
+    assert any(len(m) > 1 for m in comps.values())
+    dropped_by_cc_only = [v for v in cc if greedy[v] and not cc[v][1]]
+    assert dropped_by_cc_only or all(
+        len(m) <= 2 for m in comps.values())  # triangle case if chains exist
+
+
 # --- fuzzy decontamination ------------------------------------------------------------
 
 
