@@ -51,6 +51,9 @@ BATTERY = [
     "semantic_dedup", "fuzzy_decontaminate", "bpe_train",
     "line_dedup", "stream_semantic_dedup", "corpus_diff",
     "sketch_distinct",
+    # round-5 rows
+    "remove_long_repeats", "curation_gate_multilang", "quality_filter",
+    "unigram_train", "semantic_dedup_cc", "stream_quality_filter",
 ]
 
 

@@ -821,6 +821,23 @@ def remove_long_repeats(docs: DataFrame, id_col: str = "doc_id",
     only log-factor map work, where a naive L-gram shingle table would
     ship L× the corpus.
     """
+    base, wins = _long_repeat_windows(docs, id_col, text_col, min_len)
+    freq = wins.groupBy("h").agg(F.count("*").alias("cnt"))
+    covered = (
+        wins.join(freq.where(F.col("cnt") >= min_count), "h")
+        .select("id", F.explode(
+            F.sequence(F.col("pos"),
+                       F.col("pos") + F.lit(min_len - 1))).alias("widx"))
+        .distinct()
+    )
+    return _rebuild_without(base, covered, id_col)
+
+
+def _long_repeat_windows(docs: DataFrame, id_col: str, text_col: str,
+                         min_len: int) -> tuple[DataFrame, DataFrame]:
+    """(base=(id, w), windows=(id, pos, h)) — the shared front half of
+    min-length-L exact-substring removal (doubling window fingerprints,
+    one row per L-word window)."""
     wr = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     base = docs.select(F.col(id_col).alias("id"), wr.alias("w"))
     fps = _window_fingerprints(
@@ -829,9 +846,38 @@ def remove_long_repeats(docs: DataFrame, id_col: str = "doc_id",
         base.select("id", F.posexplode(fps).alias("pos0", "h"))
         .select("id", (F.col("pos0") + 1).alias("pos"), "h")
     )
-    freq = wins.groupBy("h").agg(F.count("*").alias("cnt"))
+    return base, wins
+
+
+def corpus_window_fingerprints(corpus_docs: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               min_len: int = 20) -> DataFrame:
+    """Static state for incremental long-repeat removal: the corpus's
+    DISTINCT L-window fingerprints — the long-repeat analog of
+    :func:`corpus_span_shingles` (at production scale: one bucketed table
+    per corpus snapshot, ~1/L the rows of a positional shingle table)."""
+    _, wins = _long_repeat_windows(corpus_docs, id_col, text_col, min_len)
+    return wins.select("h").distinct()
+
+
+def strip_long_repeats_vs_corpus(delta_docs: DataFrame,
+                                 corpus_windows: DataFrame,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 min_len: int = 20) -> DataFrame:
+    """Delta-vs-corpus min-length-L exact-substring removal: strip from
+    each DELTA document every token covered by an L-word window the
+    CORPUS has already seen — the ingest-time form of
+    :func:`remove_long_repeats` (a new page's ≥L-token boilerplate is
+    whatever the corpus contains; a pure function of (corpus state,
+    delta row), so the streaming wrapper is batching-invariant by
+    construction). One semi-join on the window-hash key + the shared
+    rebuild aggregation — per-batch cost O(|delta|·n log L) map work
+    plus the semi-join, never a corpus re-scan."""
+    base, wins = _long_repeat_windows(delta_docs, id_col, text_col, min_len)
     covered = (
-        wins.join(freq.where(F.col("cnt") >= min_count), "h")
+        wins.join(corpus_windows.select("h"), "h", "left_semi")
         .select("id", F.explode(
             F.sequence(F.col("pos"),
                        F.col("pos") + F.lit(min_len - 1))).alias("widx"))

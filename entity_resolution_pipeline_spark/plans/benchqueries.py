@@ -3861,12 +3861,11 @@ def q_remove_long_repeats(spark, sf_dir):
     return remove_long_repeats(salted, min_len=LONG_REPEAT_LEN)
 
 
-def _oracle_remove_long_repeats() -> str:
-    """Replays _window_fingerprints' doubling levels for L=20 (p=4 →
-    blocks of 16, overlapping combine at offset 4), the corpus-wide
-    occurrence count (HAVING COUNT(*) ≥ 2 over ALL window instances, not
-    distinct docs), coverage expansion, and the ordered rebuild."""
-    L = LONG_REPEAT_LEN
+def _window_fp_ctes(prefix: str, base: str) -> tuple[str, str]:
+    """SQL fragment replaying _window_fingerprints' doubling levels for
+    L=LONG_REPEAT_LEN (p=4 → blocks of 16, overlapping combine at offset
+    4) over CTE ``base`` (doc_id, w). Returns (ctes, wins_name) where
+    ``wins_name`` emits (doc_id, pos, h) — one row per L-word window."""
     lvl_sql = """
   SELECT doc_id, w,
          CASE WHEN len(a) > {h}
@@ -3874,12 +3873,27 @@ def _oracle_remove_long_repeats() -> str:
                                   i -> md5(a[i] || a[i + {h}]))
               ELSE CAST([] AS VARCHAR[]) END AS a
   FROM {src}"""
-    levels = ""
-    src = "l0"
+    ctes = f""", {prefix}l0 AS (
+  SELECT doc_id, w, list_transform(w, t -> md5(lower(t))) AS a FROM {base}
+)"""
+    src = f"{prefix}l0"
     for j, half in enumerate([1, 2, 4, 8, 4]):  # 4 doubling levels + the
-        name = f"l{j + 1}"                      # offset-4 final combine
-        levels += f", {name} AS ({lvl_sql.format(h=half, src=src)})"
+        name = f"{prefix}l{j + 1}"              # offset-4 final combine
+        ctes += f", {name} AS ({lvl_sql.format(h=half, src=src)})"
         src = name
+    ctes += f""", {prefix}wins AS (
+  SELECT doc_id, i AS pos, a[i] AS h
+  FROM {src}, unnest(generate_series(1, len(a))) AS g(i)
+)"""
+    return ctes, f"{prefix}wins"
+
+
+def _oracle_remove_long_repeats() -> str:
+    """Replays the doubling levels, the corpus-wide occurrence count
+    (HAVING COUNT(*) ≥ 2 over ALL window instances, not distinct docs),
+    coverage expansion, and the ordered rebuild."""
+    L = LONG_REPEAT_LEN
+    levels, wins = _window_fp_ctes("", "base")
     return rf"""
 WITH salted AS (
   SELECT doc_id,
@@ -3891,12 +3905,7 @@ WITH salted AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
   FROM salted
-), l0 AS (
-  SELECT doc_id, w, list_transform(w, t -> md5(lower(t))) AS a FROM base
-){levels}, wins AS (
-  SELECT doc_id, i AS pos, a[i] AS h
-  FROM {src}, unnest(generate_series(1, len(a))) AS g(i)
-), freq AS (
+){levels}, freq AS (
   SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
 ), covered AS (
   SELECT DISTINCT ws.doc_id, j AS widx
@@ -3918,6 +3927,82 @@ SELECT b.doc_id,
        CAST(len(b.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
        coalesce(r.text_clean, '') AS text_clean
 FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_stream_strip_long_repeats(spark, sf_dir):
+    """Ingest-time arbitrary-length exact-substring removal as a
+    foreachBatch stream (streaming/incremental.py:
+    stream_strip_long_repeats): the corpus's distinct ≥20-word window
+    fingerprints (docs with doc_id % 4 != 0; the % 4 == 1 slice carries
+    the same planted cookie-banner boilerplate the delta does) are static
+    persisted state; delta documents (doc_id % 4 == 0, boilerplate
+    appended) stream in and lose every token covered by a corpus-seen
+    window. Batching-invariant by construction (pure function of corpus
+    state + own text), so the oracle is a FULL-plan replica: both sides'
+    doubling levels, the corpus-distinct window set, the semi-join
+    coverage, and the ordered rebuild."""
+    from ..operators.curation import strip_long_repeats_vs_corpus  # noqa: F401
+    from ..streaming.incremental import (
+        _tmp_sink_dir, stream_strip_long_repeats,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 <= 1,
+               F.concat(F.col("text"), F.lit(" " + _BOILER_A)))
+        .otherwise(F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = salted.where(F.col("doc_id") % 4 != 0)
+    delta = salted.where(F.col("doc_id") % 4 == 0)
+    d = _tmp_sink_dir("inc_lrepq_")  # atexit-cleaned
+    delta.coalesce(1).write.mode("overwrite").parquet(d)
+    return stream_strip_long_repeats(spark, d, corpus,
+                                     min_len=LONG_REPEAT_LEN, timeout_s=240)
+
+
+def _oracle_stream_strip_long_repeats() -> str:
+    c_levels, c_wins = _window_fp_ctes("c_", "corpus_base")
+    d_levels, d_wins = _window_fp_ctes("d_", "delta_base")
+    return rf"""
+WITH salted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 <= 1 THEN text || ' {_BOILER_A}'
+              ELSE text END AS text
+  FROM documents
+), corpus_base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM salted WHERE doc_id % 4 <> 0
+), delta_base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM salted WHERE doc_id % 4 = 0
+){c_levels}{d_levels}, ch AS (
+  SELECT DISTINCT h FROM {c_wins}
+), covered AS (
+  SELECT DISTINCT dw.doc_id, j AS widx
+  FROM {d_wins} dw JOIN ch USING (h),
+       unnest(generate_series(dw.pos, dw.pos + {LONG_REPEAT_LEN - 1}))
+         AS u(j)
+), words AS (
+  SELECT doc_id, j AS widx, w[j] AS word
+  FROM delta_base, unnest(generate_series(1, len(w))) AS g(j)
+), kept AS (
+  SELECT ws.* FROM words ws
+  ANTI JOIN covered c ON ws.doc_id = c.doc_id AND ws.widx = c.widx
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY widx) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.w) AS BIGINT) AS n_words,
+       CAST(len(b.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.text_clean, '') AS text_clean
+FROM delta_base b LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
@@ -5357,11 +5442,13 @@ QUERIES = {
     # (stream_ann also rotates out — r04-green, oracle shared with the
     # multi-round-proven ann_ivf — making room for semantic_dedup_cc's
     # first driver check)
+    # (stream_semantic_dedup also rotates out — r04-driver-green with a
+    # full-plan oracle — for the brand-new stream_strip_long_repeats)
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "stream_sessionize": q_stream_sessionize,
     "incremental_near_dup": q_incremental_near_dup,
     "stream_curation": q_stream_curation,
-    "stream_semantic_dedup": q_stream_semantic_dedup,
+    "stream_strip_long_repeats": q_stream_strip_long_repeats,
     "stream_quality_filter": q_stream_quality_filter,
     # training-data curation family (capstone first)
     "training_corpus": q_training_corpus,
@@ -5415,6 +5502,7 @@ QUERIES = {
     # ---- tail: rows a 50-row budget clips ----
     # delta-probes-static streams rotated out this round (see header note)
     "stream_ann": q_stream_ann,
+    "stream_semantic_dedup": q_stream_semantic_dedup,
     "stream_decontaminate": q_stream_decontaminate,
     "stream_fuzzy_decontaminate": q_stream_fuzzy_decontaminate,
     "stream_line_dedup": q_stream_line_dedup,
@@ -5564,6 +5652,7 @@ ORACLE_SQL = {
     "curation_gate": _oracle_curation_gate(),
     "remove_dup_spans": ORACLE_REMOVE_DUP_SPANS,
     "remove_long_repeats": _oracle_remove_long_repeats(),
+    "stream_strip_long_repeats": _oracle_stream_strip_long_repeats(),
     "curation_gate_multilang": _oracle_curation_gate_multilang(),
     "curation_gate_extended": _oracle_curation_gate_extended(),
     "docs_token_stats": ORACLE_DOCS_TOKEN_STATS,

@@ -1290,3 +1290,64 @@ def stream_quality_filter(
                 "gate_keep boolean")
     return spark.read.option("basePath", out_dir).parquet(out_dir) \
         .select("doc_id", "logit", "keep", "gate_keep")
+
+
+def stream_strip_long_repeats(
+    spark: SparkSession,
+    delta_path: str,
+    corpus_docs: DataFrame,
+    min_len: int = 20,
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Ingest-time min-length-L exact-substring removal: the corpus's
+    distinct L-window fingerprints (O(n·log L) doubling construction)
+    become static persisted state; delta documents stream in and each
+    micro-batch strips every token covered by a corpus-seen window —
+    the Lee et al. arbitrary-length analog of ``stream_strip_spans``
+    (which guards fixed k=5 shingles). Batching-invariant by
+    construction: a delta row's output is a pure function of (corpus
+    window set, its own text). Same exactly-once contract as every
+    other incremental stream (checkpointed file source + ``batch=<id>``
+    overwrite sinks)."""
+    from ..operators.curation import (
+        corpus_window_fingerprints, strip_long_repeats_vs_corpus,
+    )
+
+    state = corpus_window_fingerprints(corpus_docs, min_len=min_len) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()  # materialize once, before the first batch
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(delta_path):
+        parent, fname = os.path.split(delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(delta_path)
+
+    if sink_dir is None:
+        sink_dir = _tmp_sink_dir("inc_lrep_sink_")
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "stripped")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        strip_long_repeats_vs_corpus(batch, state, min_len=min_len) \
+            .write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, timeout_s, "incremental long-repeat strip", persisted=(state,))
+    if not os.path.isdir(out_dir):  # empty delta: no batch ever fired
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_words bigint, n_removed bigint, "
+                "text_clean string")
+    return spark.read.option("basePath", out_dir).parquet(out_dir) \
+        .select("doc_id", "n_words", "n_removed", "text_clean")

@@ -266,3 +266,66 @@ def test_stream_quality_filter_matches_batch_and_batching_invariant(
 
     assert run("qf_sink_one") == expected
     assert run("qf_sink_split", max_files_per_trigger=1) == expected
+
+
+def test_stream_strip_long_repeats_matches_batch_and_invariant(
+        spark, tmp_root):
+    """The long-repeat ingest stream equals the one-shot delta-vs-corpus
+    operator, drained as one micro-batch or file-at-a-time; planted
+    corpus-known boilerplate vanishes from every delta doc, and
+    delta-only long runs survive (corpus state, not corpus-wide count,
+    decides)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from entity_resolution_pipeline_spark.operators.curation import (
+        corpus_window_fingerprints, strip_long_repeats_vs_corpus,
+    )
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_strip_long_repeats,
+    )
+
+    boiler = " ".join(f"legal w{i}" for i in range(12))  # 24 words
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    salted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 <= 1,
+               F.concat(F.col("text"), F.lit(" " + boiler)))
+        .otherwise(F.col("text")).alias("text"),
+        "lang", "source", "n_chars")
+    corpus = salted.where(F.col("doc_id") % 4 != 0)
+    delta = salted.where(F.col("doc_id") % 4 == 0)
+    delta_dir = os.path.join(tmp_root, "lrep_delta")
+    delta.repartition(3).write.mode("overwrite").parquet(delta_dir)
+
+    state = corpus_window_fingerprints(corpus, min_len=20)
+    expected = sorted(
+        (r["doc_id"], r["n_words"], r["n_removed"], r["text_clean"])
+        for r in strip_long_repeats_vs_corpus(
+            spark.read.parquet(delta_dir), state, min_len=20).collect())
+    n_delta = len(expected)
+    assert n_delta > 0
+    # every delta doc lost at least the 24 boilerplate words
+    assert all(rm >= 24 for (_, _, rm, _) in expected)
+    assert all("legal" not in tc for (_, _, _, tc) in expected)
+
+    def run(sink, **kw):
+        rows = stream_strip_long_repeats(
+            spark, delta_dir, corpus, min_len=20,
+            sink_dir=os.path.join(tmp_root, sink), **kw).collect()
+        return sorted((r["doc_id"], r["n_words"], r["n_removed"],
+                       r["text_clean"]) for r in rows)
+
+    assert run("lrep_one") == expected
+    assert run("lrep_split", max_files_per_trigger=1) == expected
+
+    # delta-only repeats are NOT stripped (corpus state decides): a delta
+    # doc pair sharing a 20-word run absent from the corpus keeps it
+    run20 = " ".join(f"only w{i}" for i in range(10))
+    d2 = spark.createDataFrame(
+        [(1, "alpha " + run20), (2, "beta " + run20)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_removed"] for r in
+           strip_long_repeats_vs_corpus(d2, state, min_len=20).collect()}
+    assert out == {1: 0, 2: 0}
