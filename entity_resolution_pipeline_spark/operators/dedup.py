@@ -158,10 +158,15 @@ def ngram_jaccard_pairs(docs: DataFrame | None = None, pairs: DataFrame = None,
     """
     j, inter, union = _pair_shingle_frame(docs, pairs, id_col, text_col,
                                           k, shingles)
-    return j.select(
+    out = j.select(
         "id_a", "id_b",
         F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6).alias("jaccard"),
     )
+    # forward the candidate table's persisted signature handle — dropping
+    # it here silently leaked the sigs cache into the rest of the session
+    # (found by tools/audit_cache_bleed.py)
+    out._erps_persisted = list(getattr(pairs, "_erps_persisted", None) or [])
+    return out
 
 
 def _pair_shingle_frame(docs, pairs, id_col, text_col, k, shingles):
@@ -198,7 +203,7 @@ def ngram_containment_pairs(docs: DataFrame | None = None,
                                           k, shingles)
     na = F.size("sh_a").cast("double")
     nb = F.size("sh_b").cast("double")
-    return j.select(
+    out = j.select(
         "id_a", "id_b",
         F.round(F.when(union > 0, inter / union)
                 .otherwise(F.lit(0.0)), 6).alias("jaccard"),
@@ -207,6 +212,9 @@ def ngram_containment_pairs(docs: DataFrame | None = None,
         F.round(F.when(nb > 0, inter / nb)
                 .otherwise(F.lit(0.0)), 6).alias("containment_b"),
     )
+    # same handle-forwarding rule as ngram_jaccard_pairs
+    out._erps_persisted = list(getattr(pairs, "_erps_persisted", None) or [])
+    return out
 
 
 def winnow_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -315,6 +323,47 @@ def fuzzy_dedup(docs: DataFrame, id_col: str = "doc_id",
         *(getattr(edges, "_erps_persisted", None) or []),
         *(getattr(labeled, "_erps_persisted", None) or []),
     ]
+    return out
+
+
+def fuzzy_dedup_quality_keeper(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               quality_col: str | None = None,
+                               k: int = 3, n_bands: int = 8,
+                               threshold: float = 0.7,
+                               stop_threshold: int | None = None,
+                               shingles: DataFrame | None = None
+                               ) -> DataFrame:
+    """:func:`fuzzy_dedup` with a QUALITY-AWARE keeper: instead of the
+    arbitrary min-id, each dup group keeps its best document — highest
+    ``quality_col`` (default: text length in characters), ties broken by
+    ascending id. This is what production pipelines actually do once a
+    quality signal exists (keep the longest / cleanest member of a
+    near-dup cluster, drop its shards and boilerplate-padded variants).
+
+    Output: (id, dup_group, quality, is_keeper). Group membership and
+    ids are IDENTICAL to :func:`fuzzy_dedup` (same edges, same closure,
+    same lexicographic-min group label) — only the keeper bit moves, via
+    one top-1 window per dup group (WindowGroupLimit shape; groups are
+    edge-bounded and tiny relative to the corpus) after one id-keyed
+    join fetching the quality signal. Singletons keep themselves.
+    """
+    labeled = fuzzy_dedup(docs, id_col, text_col, k=k, n_bands=n_bands,
+                          threshold=threshold,
+                          stop_threshold=stop_threshold, shingles=shingles)
+    q = (F.col(quality_col).cast("double") if quality_col
+         else F.length(F.coalesce(F.col(text_col), F.lit("")))
+         .cast("double"))
+    quality = docs.select(F.col(id_col).cast("string").alias("id"),
+                          q.alias("quality"))
+    scored = labeled.join(quality, "id")
+    w = Window.partitionBy("dup_group").orderBy(F.desc("quality"),
+                                                F.asc("id"))
+    out = scored.select(
+        "id", "dup_group", "quality",
+        (F.row_number().over(w) == 1).alias("is_keeper"))
+    out._erps_persisted = list(getattr(labeled, "_erps_persisted",
+                                       None) or [])
     return out
 
 
@@ -455,7 +504,7 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
         # longs per row instead of two dim-width float arrays (the arrays
         # made the candidate shuffle ~dim× wider and dominated wall time);
         # vectors re-attach AFTER dedup via two id equi-joins.
-        buckets = (
+        buckets = buckets_persisted = (
             srp_bucket_table(base, matrix, n_tables, n_planes)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -489,8 +538,14 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                       F.lit(0.0), lambda acc, x: acc + x)
     cos = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
                  dot / (F.col("n_a") * F.col("n_b"))).otherwise(F.lit(0.0))
-    return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")) \
-                .where(F.col("cosine") >= threshold)
+    out = pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")) \
+               .where(F.col("cosine") >= threshold)
+    if n_tables > 0:
+        # the SRP bucket table is persisted above; hand the release handle
+        # to the caller (unattached, it leaked for the whole session —
+        # found by tools/audit_cache_bleed.py)
+        out._erps_persisted = [buckets_persisted]
+    return out
 
 
 def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",

@@ -904,7 +904,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t_wide(spark, sf_dir, "documents")
     sh = shingle_table(docs, "doc_id", "text", k=3).persist()
     pairs = lsh_candidate_pairs(n_bands=4, stop_threshold=LSH_STOP, shingles=sh)
-    return ngram_jaccard_pairs(pairs=pairs, k=3, shingles=sh)
+    out = ngram_jaccard_pairs(pairs=pairs, k=3, shingles=sh)
+    # the wrapper's own shingle persist rides along with the forwarded
+    # candidate-table handle so release_persisted frees BOTH
+    out._erps_persisted = [sh, *(getattr(out, "_erps_persisted", None) or [])]
+    return out
 
 
 def _oracle_ngram_jaccard(n_bands: int = 4) -> str:
@@ -938,7 +942,9 @@ def q_dedup_containment(spark, sf_dir):
     pairs = lsh_candidate_pairs(n_bands=4, stop_threshold=LSH_STOP,
                                 shingles=sh)
     out = ngram_containment_pairs(pairs=pairs, k=3, shingles=sh)
-    out._erps_persisted = [sh]
+    # EXTEND the forwarded candidate-table handle — overwriting it here
+    # leaked the sigs cache (found by tools/audit_cache_bleed.py)
+    out._erps_persisted = [sh, *(getattr(out, "_erps_persisted", None) or [])]
     return out
 
 
@@ -997,11 +1003,14 @@ def q_dedup_canonical(spark, sf_dir):
     docs = _t_wide(spark, sf_dir, "documents")
     out = fuzzy_dedup(docs, "doc_id", "text", k=3, n_bands=4,
                       threshold=0.7, stop_threshold=LSH_STOP)
-    return out.select(
+    res = out.select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("dup_group").cast("bigint").alias("dup_group"),
         "is_keeper",
     )
+    # .select drops the attribute — forward so release_persisted works
+    res._erps_persisted = list(getattr(out, "_erps_persisted", None) or [])
+    return res
 
 
 def _oracle_dedup_canonical(n_bands: int = 4, threshold: float = 0.7) -> str:
@@ -1043,12 +1052,10 @@ def q_corpus_curation(spark, sf_dir):
     exactly the filter→dedup→stats shape a 100 TB curation job runs.
     """
     docs = _t_wide(spark, sf_dir, "documents")
-    keepers = (
-        fuzzy_dedup(docs, "doc_id", "text", k=3, n_bands=4,
-                    threshold=0.7, stop_threshold=LSH_STOP)
-        .where("is_keeper")
-        .select(F.col("id").cast("bigint").alias("doc_id"))
-    )
+    fd = fuzzy_dedup(docs, "doc_id", "text", k=3, n_bands=4,
+                     threshold=0.7, stop_threshold=LSH_STOP)
+    keepers = (fd.where("is_keeper")
+               .select(F.col("id").cast("bigint").alias("doc_id")))
     curated = (
         docs.join(keepers, "doc_id")
         .withColumn("lang_pred", lang_id_col(F.col("text")))
@@ -1057,11 +1064,16 @@ def q_corpus_curation(spark, sf_dir):
         .where((F.col("lang_pred") == "en")
                & (F.col("quality") >= CURATION_MIN_QUALITY))
     )
-    return curated.groupBy("source").agg(
+    res = curated.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_bpe_ish").alias("n_tokens"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+    # .where/.select dropped fuzzy_dedup's cache handles (the
+    # training_corpus_full leak class the round-4 advisor flagged;
+    # re-found here by tools/audit_cache_bleed.py)
+    res._erps_persisted = list(getattr(fd, "_erps_persisted", None) or [])
+    return res
 
 
 def _oracle_corpus_curation() -> str:
@@ -1526,10 +1538,13 @@ def q_connected_components(spark, sf_dir):
     edges = _chain_edges(spark, sf_dir)
     nodes = docs.select(F.col("doc_id").cast("string").alias("url"))
     out = assign_clusters(nodes, edges)
-    return out.select(
+    res = out.select(
         F.col("url").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("component_id"),
     )
+    # forward the closure's localCheckpoint handle for deterministic release
+    res._erps_persisted = list(getattr(out, "_erps_persisted", None) or [])
+    return res
 
 
 # NOTE: node ids are compared as *strings* inside the CC operator (url
@@ -5422,6 +5437,188 @@ GROUP BY d.source
     return "".join(parts)
 
 
+# =============================================================================
+# DSIR importance resampling (Xie et al. 2023) + quality-aware dedup keeper
+# =============================================================================
+
+from ..operators.selection import DSIR_SEED  # noqa: E402  (oracle literal)
+
+DSIR_TARGET_SOURCES = ("src0", "src1")  # stand-in "quality" target corpus
+DSIR_K = 120
+DSIR_N_BUCKETS = 256
+
+
+def _dsir_target(docs):
+    return docs.where(F.col("source").isin(*DSIR_TARGET_SOURCES))
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    bucket models of the TARGET (sources src0/src1 — the stand-in
+    quality corpus) and the RAW corpus, add-one smoothing, per-document
+    exact-integer log-importance weights (6dp micro-int bucket ratios,
+    so the dot product is order-free), then Gumbel-top-k sampling with
+    md5-derived uniforms — sampling-without-replacement proportional to
+    the importance weights, yet bit-reproducible in SQL. The corpus is
+    touched once for its n-gram instances; the fitted model is a
+    256-row broadcast table; the top-k is a sort+limit, never a global
+    window over the corpus.
+    Library: operators/selection.py:dsir_select."""
+    from ..operators.selection import dsir_select
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return dsir_select(docs, _dsir_target(docs), k=DSIR_K,
+                       n_buckets=DSIR_N_BUCKETS, method="gumbel")
+
+
+def q_stream_dsir(spark, sf_dir):
+    """Ingest-time DSIR admission as a foreachBatch stream
+    (streaming/incremental.py:stream_dsir_select): the 256-row
+    log-ratio model is fitted ONCE on the existing corpus + target and
+    broadcast into every micro-batch; newly landed documents are
+    admitted iff their exact-integer importance weight clears the
+    pinned threshold (the batching-invariant analog of the batch
+    top-k, whose global rank cannot be computed per-batch). Weight is a
+    pure function of (document, static table), so the row carries a
+    full-plan batch oracle."""
+    from ..operators.selection import dsir_log_ratio
+    from ..streaming.incremental import _tmp_sink_dir, stream_dsir_select
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    lr = dsir_log_ratio(docs, _dsir_target(docs),
+                        n_buckets=DSIR_N_BUCKETS)
+    d = _tmp_sink_dir("inc_dsirq_")  # atexit-cleaned
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    return stream_dsir_select(spark, d, lr, threshold_micro=0,
+                              timeout_s=240)
+
+
+def _oracle_dsir_weights() -> str:
+    b = DSIR_N_BUCKETS
+    t_src = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return rf"""
+WITH words AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(toks || CASE WHEN len(toks) >= 2
+                             THEN list_transform(
+                                    generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                             ELSE [] END) AS gram
+  FROM words
+), binst AS (
+  SELECT doc_id, source,
+         CAST(CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT)
+              % {b} AS INT) AS bucket
+  FROM grams
+), t_counts AS (
+  SELECT bucket, COUNT(*) AS t_cnt FROM binst
+  WHERE source IN ({t_src}) GROUP BY 1
+), r_counts AS (
+  SELECT bucket, COUNT(*) AS r_cnt FROM binst GROUP BY 1
+), ratio AS (
+  SELECT s.bucket,
+         CAST(round(round(
+           ln((coalesce(t.t_cnt, 0) + 1.0)
+              / ((SELECT coalesce(SUM(t_cnt), 0) FROM t_counts) + {b}.0))
+           - ln((coalesce(r.r_cnt, 0) + 1.0)
+              / ((SELECT coalesce(SUM(r_cnt), 0) FROM r_counts) + {b}.0)),
+           6) * 1000000) AS BIGINT) AS ratio_micro
+  FROM (SELECT unnest(generate_series(0, {b - 1})) AS bucket) s
+  LEFT JOIN t_counts t USING (bucket)
+  LEFT JOIN r_counts r USING (bucket)
+), weights AS (
+  SELECT d.doc_id, coalesce(w.w, 0) AS weight_micro
+  FROM documents d LEFT JOIN (
+    SELECT bi.doc_id, SUM(rt.ratio_micro) AS w
+    FROM binst bi JOIN ratio rt USING (bucket) GROUP BY 1) w
+  ON d.doc_id = w.doc_id
+)"""
+
+
+ORACLE_DSIR_SELECT = rf"""{_oracle_dsir_weights()}
+SELECT doc_id, weight_micro, score_micro, rank FROM (
+  SELECT doc_id, weight_micro, score_micro,
+         CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+              AS INT) AS rank
+  FROM (SELECT doc_id, weight_micro,
+               weight_micro + CAST(round(round(
+                 -ln(-ln((CAST(('0x' || substring(
+                       md5('{DSIR_SEED}:' || CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) + 0.5) / 4294967296.0)),
+                 6) * 1000000) AS BIGINT) AS score_micro
+        FROM weights))
+WHERE rank <= {DSIR_K}
+"""
+
+
+ORACLE_STREAM_DSIR = rf"""{_oracle_dsir_weights()}
+SELECT doc_id, weight_micro, weight_micro > 0 AS keep FROM weights
+"""
+
+
+def q_dedup_quality_keeper(spark, sf_dir):
+    """Fuzzy dedup with a QUALITY-AWARE keeper: identical LSH →
+    exact-Jaccard → transitive-closure groups as dedup_canonical, but
+    each dup group keeps its LONGEST document (chars; ties → min id)
+    instead of the arbitrary min-id — what production pipelines run once
+    a quality signal exists (drop the shards, keep the full page). One
+    extra id-keyed quality join + a top-1-per-group window
+    (WindowGroupLimit over edge-bounded groups).
+    Library: operators/dedup.py:fuzzy_dedup_quality_keeper."""
+    from ..operators.dedup import fuzzy_dedup_quality_keeper
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    out = fuzzy_dedup_quality_keeper(docs, "doc_id", "text", k=3,
+                                     n_bands=4, threshold=0.7,
+                                     stop_threshold=LSH_STOP)
+    res = out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("dup_group").cast("bigint").alias("dup_group"),
+        F.col("quality").cast("bigint").alias("quality"),
+        "is_keeper",
+    )
+    res._erps_persisted = list(getattr(out, "_erps_persisted", None) or [])
+    return res
+
+
+def _oracle_dedup_quality_keeper(n_bands: int = 4,
+                                 threshold: float = 0.7) -> str:
+    # same verified-edge closure as ORACLE_DEDUP_CANONICAL (group ids are
+    # lexicographic minima — ids travel as strings); only the keeper rule
+    # changes: top-1 per group by (char length DESC, string id ASC)
+    jacc_sql = _oracle_ngram_jaccard(n_bands)
+    return f"""
+WITH RECURSIVE ver AS (SELECT id_a, id_b FROM ({jacc_sql}) WHERE jaccard >= {threshold}),
+e AS (SELECT id_a AS src, id_b AS dst FROM ver
+      UNION SELECT id_b, id_a FROM ver),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src
+  WHERE r.a <> e2.dst
+), comp AS (
+  SELECT a AS doc_id,
+         MIN(least(CAST(a AS VARCHAR), CAST(b AS VARCHAR))) AS comp_str
+  FROM reach GROUP BY a
+), lab AS (
+  SELECT d.doc_id,
+         coalesce(c.comp_str, CAST(d.doc_id AS VARCHAR)) AS grp,
+         CAST(length(coalesce(d.text, '')) AS BIGINT) AS quality
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, CAST(grp AS BIGINT) AS dup_group, quality,
+       row_number() OVER (PARTITION BY grp
+         ORDER BY quality DESC, CAST(doc_id AS VARCHAR) ASC) = 1
+         AS is_keeper
+FROM lab
+"""
+
+
 QUERIES = {
     # ORDER = driver-record priority (the driver record caps at 50 rows).
     # Round-5 window policy (round-4 verdict ask #8 + advisor): the first
@@ -5444,6 +5641,12 @@ QUERIES = {
     # first driver check)
     # (stream_semantic_dedup also rotates out — r04-driver-green with a
     # full-plan oracle — for the brand-new stream_strip_long_repeats)
+    # (late round-5 additions: dsir_select / stream_dsir /
+    # dedup_quality_keeper enter the window; corpus_sample + corpus_split
+    # rotate out — r04-driver-green, machinery shared with the staying
+    # corpus_mix_temperature — and sketch_source_overlap rotates out —
+    # r04-driver-green, KMV machinery shared with the staying
+    # sketch_distinct)
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "stream_sessionize": q_stream_sessionize,
     "incremental_near_dup": q_incremental_near_dup,
@@ -5469,9 +5672,9 @@ QUERIES = {
     "docs_dup_span": q_docs_dup_span,
     "docs_tfidf": q_docs_tfidf,
     "domain_stats": q_domain_stats,
-    "corpus_sample": q_corpus_sample,
     "corpus_mix_temperature": q_corpus_mix_temperature,
-    "corpus_split": q_corpus_split,
+    "dsir_select": q_dsir_select,
+    "stream_dsir": q_stream_dsir,
     "decontaminate": q_decontaminate,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "line_dedup": q_line_dedup,
@@ -5480,7 +5683,6 @@ QUERIES = {
     # deterministic KMV sketches (distinct estimate + overlap matrix)
     "docs_hash_embed": q_docs_hash_embed,
     "sketch_distinct": q_sketch_distinct,
-    "sketch_source_overlap": q_sketch_source_overlap,
     # tokenizer induction (distributed BPE + unigram-LM)
     "bpe_train": q_bpe_train,
     "bpe_segment": q_bpe_segment,
@@ -5495,11 +5697,16 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "dedup_canonical": q_dedup_canonical,
+    "dedup_quality_keeper": q_dedup_quality_keeper,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_cc": q_semantic_dedup_cc,
     # retrieval (batch BM25's first driver check) — window ends here
     "bm25_topk": q_bm25_topk,
     # ---- tail: rows a 50-row budget clips ----
+    # rotated out for the late round-5 rows (see header note)
+    "corpus_sample": q_corpus_sample,
+    "corpus_split": q_corpus_split,
+    "sketch_source_overlap": q_sketch_source_overlap,
     # delta-probes-static streams rotated out this round (see header note)
     "stream_ann": q_stream_ann,
     "stream_semantic_dedup": q_stream_semantic_dedup,
@@ -5609,6 +5816,9 @@ ORACLE_SQL = {
     "dedup_winnow_pairs": _oracle_dedup_winnow_pairs(),
     "dedup_simhash": _oracle_simhash(32),
     "dedup_canonical": _oracle_dedup_canonical(4, 0.7),
+    "dedup_quality_keeper": _oracle_dedup_quality_keeper(4, 0.7),
+    "dsir_select": ORACLE_DSIR_SELECT,
+    "stream_dsir": ORACLE_STREAM_DSIR,
     "corpus_curation": _oracle_corpus_curation(),
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf": _oracle_ann_ivf(),

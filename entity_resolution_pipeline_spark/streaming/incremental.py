@@ -1292,6 +1292,77 @@ def stream_quality_filter(
         .select("doc_id", "logit", "keep", "gate_keep")
 
 
+def stream_dsir_select(
+    spark: SparkSession,
+    delta_path: str,
+    log_ratio: DataFrame,
+    threshold_micro: int = 0,
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Ingest-time DSIR admission (Xie et al. 2023): newly landed
+    documents are scored against a PINNED log-importance-ratio table
+    (the n_buckets-row model :func:`~..operators.selection.dsir_log_ratio`
+    fitted once on the existing corpus + target set — broadcast state,
+    the DSIR analog of the ANN codebooks) and admitted iff their
+    exact-integer weight clears ``threshold_micro``. Emits
+    (doc_id, weight_micro, keep).
+
+    The batch operator's global top-k is NOT batching-invariant (rank
+    depends on who else arrived), so the streaming analog gates on the
+    pinned threshold instead — per-document weight depends only on the
+    document's own n-grams and the static table, making the stream
+    batching-invariant BY CONSTRUCTION; the battery row shares the batch
+    weight oracle. Per batch: one broadcast join + one doc-id
+    aggregation; the corpus model is never refit at ingest. Same
+    exactly-once contract as every other incremental stream
+    (checkpointed file source + ``batch=<id>`` overwrite sinks).
+    """
+    from ..operators.selection import dsir_weights
+
+    # the model table has exactly one row per bucket, so the hash width
+    # travels WITH the model — a delta job can never score against a
+    # mismatched bucketing (counted once at setup; n_buckets rows)
+    n_buckets = log_ratio.count()
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(delta_path):
+        parent, fname = os.path.split(delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(delta_path)
+
+    if sink_dir is None:
+        sink_dir = _tmp_sink_dir("inc_dsir_sink_")
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "scored")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        w = dsir_weights(batch, log_ratio, n_buckets=n_buckets)
+        out = w.select(
+            "doc_id", "weight_micro",
+            (F.col("weight_micro") > F.lit(int(threshold_micro)))
+            .alias("keep"))
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, timeout_s, "incremental DSIR admission")
+    if not os.path.isdir(out_dir):  # empty delta: no batch ever fired
+        return spark.createDataFrame(
+            [], "doc_id bigint, weight_micro bigint, keep boolean")
+    return spark.read.option("basePath", out_dir).parquet(out_dir) \
+        .select("doc_id", "weight_micro", "keep")
+
+
 def stream_strip_long_repeats(
     spark: SparkSession,
     delta_path: str,
