@@ -54,7 +54,7 @@ BATTERY = [
     # round-5 rows
     "remove_long_repeats", "curation_gate_multilang", "quality_filter",
     "unigram_train", "semantic_dedup_cc", "stream_quality_filter",
-    "dsir_select", "dedup_quality_keeper",
+    "dsir_select", "dedup_quality_keeper", "cluster_balanced_sample",
 ]
 
 

@@ -168,3 +168,37 @@ def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, k: int,
         Window.orderBy(F.desc("score_micro"), F.asc(id_col)))
     return top.select(id_col, "weight_micro", "score_micro",
                       rn.cast("int").alias("rank"))
+
+
+def cluster_balanced_sample(emb: DataFrame, n_cells: int = 16,
+                            per_cell: int = 16, id_col: str = "vec_id",
+                            vec_col: str = "embedding", seed: int = 42,
+                            draw_seed: int = 7) -> DataFrame:
+    """Topic-balanced corpus pruning over an embedding column (the
+    cluster-then-balance step of Sorscher et al. 2022's data pruning and
+    Tirumala et al. 2023's D4): cluster every vector with the SAME
+    deterministic IVF coarse quantizer the ANN/SemDeDup stack uses
+    (:func:`~.ann.ivf_assign_cells` — driver-state centroid literals,
+    one narrow map-side assignment pass), then keep at most ``per_cell``
+    members of each cluster, chosen by a seeded md5 draw — so no
+    majority topic can dominate the training mix, and the "random"
+    survivors are bit-reproducible in a SQL oracle.
+
+    Output: (id, cell_id, cell_rank) for the KEPT rows only — the
+    per-cell rank window is therefore a WindowGroupLimit (the top-k
+    pushes below the sort), never a full per-cell sort materializing
+    ranks for dropped rows; downstream left-anti-joins for the drops.
+    100 TB shape: one narrow assignment projection + one exchange on
+    cell_id with a group-limited window.
+    """
+    from pyspark.sql import Window
+    from .ann import ivf_assign_cells
+
+    _, assigned = ivf_assign_cells(emb, n_cells, id_col, vec_col, seed)
+    draw = F.md5(F.concat(F.col(id_col).cast("string"),
+                          F.lit(f":{draw_seed}")))
+    w = Window.partitionBy("cell_id").orderBy(draw, F.col(id_col))
+    return (assigned
+            .select(F.col(id_col), "cell_id",
+                    F.row_number().over(w).cast("int").alias("cell_rank"))
+            .where(F.col("cell_rank") <= per_cell))

@@ -5619,6 +5619,54 @@ FROM lab
 """
 
 
+CBS_CELLS = 16
+CBS_PER_CELL = 12
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Topic-balanced corpus pruning (Sorscher et al. 2022 / D4 shape):
+    the deterministic IVF quantizer clusters every embedding (driver-
+    state centroid literals, one narrow assignment pass), then each
+    cluster keeps ≤ 12 members by a seeded md5 draw — majority topics
+    can't dominate the mix, and the sampled survivors are
+    bit-reproducible in SQL. The per-cell rank is a WindowGroupLimit
+    (kept rows only), never a full per-cell sort.
+    Library: operators/selection.py:cluster_balanced_sample."""
+    from ..operators.selection import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(emb, n_cells=CBS_CELLS,
+                                   per_cell=CBS_PER_CELL)
+
+
+def _oracle_cluster_balanced_sample() -> str:
+    cos_ac = _IVF_COS.format(a="v.e", b="cn.c")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY _h) AS INT) AS cell_id, e AS c
+  FROM (SELECT e, md5(CAST(vec_id AS VARCHAR) || ':42') AS _h
+        FROM v ORDER BY _h LIMIT {CBS_CELLS})
+), asg AS (
+  SELECT v.vec_id, cn.cell_id,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY {cos_ac} DESC, cn.cell_id ASC) AS rn
+  FROM v CROSS JOIN cent cn
+), cells AS (
+  SELECT vec_id, cell_id FROM asg WHERE rn = 1
+)
+SELECT vec_id, cell_id, cell_rank FROM (
+  SELECT vec_id, cell_id,
+         CAST(row_number() OVER (PARTITION BY cell_id
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':7') ASC,
+                    vec_id ASC) AS INT) AS cell_rank
+  FROM cells)
+WHERE cell_rank <= {CBS_PER_CELL}
+"""
+
+
 QUERIES = {
     # ORDER = driver-record priority (the driver record caps at 50 rows).
     # Round-5 window policy (round-4 verdict ask #8 + advisor): the first
@@ -5707,6 +5755,9 @@ QUERIES = {
     "corpus_sample": q_corpus_sample,
     "corpus_split": q_corpus_split,
     "sketch_source_overlap": q_sketch_source_overlap,
+    # late round-5 tail row (its IVF-assignment machinery is driver-checked
+    # via ann_ivf / semantic_dedup, which stay in the window)
+    "cluster_balanced_sample": q_cluster_balanced_sample,
     # delta-probes-static streams rotated out this round (see header note)
     "stream_ann": q_stream_ann,
     "stream_semantic_dedup": q_stream_semantic_dedup,
@@ -5819,6 +5870,7 @@ ORACLE_SQL = {
     "dedup_quality_keeper": _oracle_dedup_quality_keeper(4, 0.7),
     "dsir_select": ORACLE_DSIR_SELECT,
     "stream_dsir": ORACLE_STREAM_DSIR,
+    "cluster_balanced_sample": _oracle_cluster_balanced_sample(),
     "corpus_curation": _oracle_corpus_curation(),
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf": _oracle_ann_ivf(),

@@ -129,6 +129,35 @@ def test_stream_dsir_equals_batch_and_batching_invariant(
     assert got4 == want
 
 
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    from entity_resolution_pipeline_spark.operators.ann import (
+        ivf_assign_cells,
+    )
+    from entity_resolution_pipeline_spark.operators.selection import (
+        cluster_balanced_sample,
+    )
+    emb = spark.read.parquet(os.path.join(SF_TINY, "embeddings.parquet"))
+    n = emb.count()
+    kept = cluster_balanced_sample(emb, n_cells=8, per_cell=5).collect()
+    per_cell = {}
+    for r in kept:
+        per_cell[r.cell_id] = per_cell.get(r.cell_id, 0) + 1
+        assert 1 <= r.cell_rank <= 5
+    assert max(per_cell.values()) <= 5  # quota binds
+    assert len(kept) < n                # something was actually pruned
+    # cell ids agree with the shared IVF quantizer
+    _, assigned = ivf_assign_cells(emb, 8)
+    cells = {r.vec_id: r.cell_id for r in assigned.collect()}
+    assert all(cells[r.vec_id] == r.cell_id for r in kept)
+    # deterministic draw
+    again = cluster_balanced_sample(emb, n_cells=8, per_cell=5).collect()
+    assert {(r.vec_id, r.cell_id, r.cell_rank) for r in kept} == \
+        {(r.vec_id, r.cell_id, r.cell_rank) for r in again}
+    # a non-binding quota keeps everything
+    allk = cluster_balanced_sample(emb, n_cells=8, per_cell=n)
+    assert allk.count() == n
+
+
 def test_quality_keeper_groups_match_and_keeper_is_longest(docs):
     from entity_resolution_pipeline_spark.operators.dedup import (
         fuzzy_dedup, fuzzy_dedup_quality_keeper,
