@@ -1321,10 +1321,14 @@ def stream_dsir_select(
     """
     from ..operators.selection import dsir_weights
 
-    # the model table has exactly one row per bucket, so the hash width
-    # travels WITH the model — a delta job can never score against a
-    # mismatched bucketing (counted once at setup; n_buckets rows)
-    n_buckets = log_ratio.count()
+    # materialize the model ONCE as driver state (n_buckets rows — the
+    # IVF-centroid pattern): the lazy plan would re-run the two corpus
+    # aggregation passes in EVERY micro-batch join. The row count is the
+    # hash width, so it travels WITH the model — a delta job can never
+    # score against a mismatched bucketing.
+    lr_rows = log_ratio.collect()
+    n_buckets = len(lr_rows)
+    log_ratio = spark.createDataFrame(lr_rows, schema=log_ratio.schema)
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger is not None:
