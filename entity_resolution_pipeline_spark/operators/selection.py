@@ -33,7 +33,7 @@ LLM-pipeline extension graded alongside SURVEY.md §2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DSIR_BUCKETS = 256      # hashed n-gram feature dimensionality
