@@ -238,3 +238,66 @@ def test_bpe_pair_count_single_aggregate(spark):
     plan = _plan(pairs)
     # two exchanges total: the wordcount shuffle + the pair-count shuffle
     assert len(_exchanges(plan)) == 2, plan
+
+
+def test_dsir_select_is_takeordered_not_global_sort(spark):
+    """The corpus-level top-k must plan as TakeOrderedAndProject (sort +
+    limit collapse), never a full global Sort; the model joins must be
+    broadcast."""
+    from entity_resolution_pipeline_spark.operators.selection import (
+        dsir_select,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    plan = _plan(dsir_select(docs, target, k=25, n_buckets=64))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cluster_balanced_sample_is_window_group_limit(spark):
+    """Kept-rows-only output lets Spark push the per-cell quota below the
+    sort (WindowGroupLimit, partial + final) — dropped rows never
+    materialize a rank."""
+    from entity_resolution_pipeline_spark.operators.selection import (
+        cluster_balanced_sample,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(cluster_balanced_sample(emb, n_cells=8, per_cell=5))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_formerly_leaking_rows_release_all_caches(spark):
+    """Round-5 regression pin for the cache-bleed contract: the six rows
+    tools/audit_cache_bleed.py caught leaking (plus the new selection
+    rows) must leave ZERO persistent RDDs and an empty CacheManager
+    after release_persisted. Full-battery coverage lives in the tool;
+    this pins the exact rows that regressed once."""
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+    from entity_resolution_pipeline_spark.plans import benchqueries as bq
+
+    # earlier tests in this module BUILD plans over persisted frames
+    # without executing them — those registrations sit in the
+    # CacheManager and would fail the absolute emptiness check below
+    spark.catalog.clearCache()
+
+    rows = ["corpus_curation", "dedup_ngram_jaccard", "dedup_containment",
+            "dedup_canonical", "embedding_near_dup_srp",
+            "connected_components", "dedup_quality_keeper", "dsir_select",
+            "cluster_balanced_sample"]
+    for name in rows:
+        before = {int(k) for k in
+                  spark.sparkContext._jsc.getPersistentRDDs()
+                  .keySet().toArray()}
+        df = bq.QUERIES[name](spark, SF)
+        df.count()
+        release_persisted(df)
+        fresh = {int(k) for k in
+                 spark.sparkContext._jsc.getPersistentRDDs()
+                 .keySet().toArray()} - before
+        cm_nonempty = not (spark._jsparkSession.sharedState()
+                           .cacheManager().isEmpty())
+        assert not fresh and not cm_nonempty, (name, fresh, cm_nonempty)
