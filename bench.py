@@ -55,6 +55,7 @@ BATTERY = [
     "remove_long_repeats", "curation_gate_multilang", "quality_filter",
     "unigram_train", "semantic_dedup_cc", "stream_quality_filter",
     "dsir_select", "dedup_quality_keeper", "cluster_balanced_sample",
+    "ccnet_buckets",
 ]
 
 

@@ -555,6 +555,45 @@ def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def ccnet_quality_buckets(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          group_col: str = "source") -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020 §4):
+    score every document with the corpus bigram LM
+    (:func:`lm_perplexity`), then split each group (CCNet buckets per
+    language; ``group_col`` generalizes) into perplexity terciles —
+    ``head`` = cleanest third (lowest perplexity), ``middle``, ``tail``.
+    Downstream pipelines train on head+middle and sample tail sparingly.
+
+    Output: (id, group, perplexity, bucket) for every document;
+    unscorable docs (< 2 tokens, NULL perplexity) land in ``tail``.
+
+    The tercile cuts are EXACT percentiles (linear interpolation — the
+    same in Spark's ``percentile`` and DuckDB's ``quantile_cont``, so
+    the bucket edges are oracle-checkable), rounded to 6dp; one
+    group-agg collapses the corpus to 2 cuts per group, which broadcast
+    back — on top of the audited LM-scoring plan that is ONE extra
+    exchange and a broadcast join, regardless of corpus size.
+    """
+    ppl = lm_perplexity(docs, id_col, text_col)
+    j = ppl.join(docs.select(id_col, group_col), id_col)
+    cuts = (j.where(F.col("perplexity").isNotNull())
+            .groupBy(group_col)
+            .agg(F.round(F.percentile("perplexity", F.lit(1 / 3)), 6)
+                 .alias("p33"),
+                 F.round(F.percentile("perplexity", F.lit(2 / 3)), 6)
+                 .alias("p66")))
+    out = (j.join(F.broadcast(cuts), group_col, "left")
+           .select(
+               F.col(id_col), F.col(group_col), F.col("perplexity"),
+               F.when(F.col("perplexity").isNull(), F.lit("tail"))
+               .when(F.col("perplexity") <= F.col("p33"), F.lit("head"))
+               .when(F.col("perplexity") <= F.col("p66"), F.lit("middle"))
+               .otherwise(F.lit("tail")).alias("bucket")))
+    out._erps_persisted = list(getattr(ppl, "_erps_persisted", None) or [])
+    return out
+
+
 DUP_SPAN_K = 5   # n-gram width for the duplicated-span signal
 
 

@@ -5619,6 +5619,38 @@ FROM lab
 """
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4):
+    corpus-bigram-LM perplexity terciles per source — head = cleanest
+    third. Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`), rounded 6dp, broadcast back as 2 cuts per
+    group; unscorable docs land in tail.
+    Library: operators/curation.py:ccnet_quality_buckets."""
+    from ..operators.curation import ccnet_quality_buckets
+
+    return ccnet_quality_buckets(_t_wide(spark, sf_dir, "documents"))
+
+
+ORACLE_CCNET_BUCKETS = f"""
+WITH ppl AS ({ORACLE_DOCS_LM_PERPLEXITY}),
+j AS (
+  SELECT p.doc_id, d.source, p.perplexity
+  FROM ppl p JOIN documents d USING (doc_id)
+), cuts AS (
+  SELECT source,
+         round(quantile_cont(perplexity, {1 / 3!r}), 6) AS p33,
+         round(quantile_cont(perplexity, {2 / 3!r}), 6) AS p66
+  FROM j WHERE perplexity IS NOT NULL GROUP BY source
+)
+SELECT j.doc_id, j.source, j.perplexity,
+       CASE WHEN j.perplexity IS NULL THEN 'tail'
+            WHEN j.perplexity <= c.p33 THEN 'head'
+            WHEN j.perplexity <= c.p66 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j LEFT JOIN cuts c USING (source)
+"""
+
+
 CBS_CELLS = 16
 CBS_PER_CELL = 12
 
@@ -5755,9 +5787,11 @@ QUERIES = {
     "corpus_sample": q_corpus_sample,
     "corpus_split": q_corpus_split,
     "sketch_source_overlap": q_sketch_source_overlap,
-    # late round-5 tail row (its IVF-assignment machinery is driver-checked
-    # via ann_ivf / semantic_dedup, which stay in the window)
+    # late round-5 tail rows (machinery driver-checked via in-window kin:
+    # IVF assignment via ann_ivf / semantic_dedup, the bigram LM via
+    # docs_lm_perplexity)
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "ccnet_buckets": q_ccnet_buckets,
     # delta-probes-static streams rotated out this round (see header note)
     "stream_ann": q_stream_ann,
     "stream_semantic_dedup": q_stream_semantic_dedup,
@@ -5871,6 +5905,7 @@ ORACLE_SQL = {
     "dsir_select": ORACLE_DSIR_SELECT,
     "stream_dsir": ORACLE_STREAM_DSIR,
     "cluster_balanced_sample": _oracle_cluster_balanced_sample(),
+    "ccnet_buckets": ORACLE_CCNET_BUCKETS,
     "corpus_curation": _oracle_corpus_curation(),
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_ivf": _oracle_ann_ivf(),

@@ -711,3 +711,41 @@ def test_multilang_gate_differential_decisions(spark):
     strict_keep = flags.where("lang_pred='de' AND keep").count()
     loose_keep = relaxed.where("lang_pred='de' AND keep").count()
     assert loose_keep > strict_keep
+
+
+def test_ccnet_buckets_terciles(spark):
+    """Head/middle/tail are perplexity terciles per source: ~n/3 each,
+    ordered head ≤ middle ≤ tail on perplexity, nulls in tail."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        ccnet_quality_buckets,
+    )
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+
+    docs = _docs(spark)
+    out = ccnet_quality_buckets(docs)
+    rows = out.collect()
+    release_persisted(out)
+    assert len(rows) == docs.count()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, members in by_src.items():
+        scored = [m for m in members if m.perplexity is not None]
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for m in members:
+            counts[m.bucket] += 1
+            if m.perplexity is None:
+                assert m.bucket == "tail"
+        n = len(scored)
+        # terciles within rounding of n/3 (interpolated cuts)
+        assert abs(counts["head"] - n / 3) <= 1, (src, counts)
+        # ordering: every head ppl <= every middle ppl <= every tail ppl
+        h = [m.perplexity for m in scored if m.bucket == "head"]
+        mid = [m.perplexity for m in scored if m.bucket == "middle"]
+        t = [m.perplexity for m in scored if m.bucket == "tail"]
+        if h and mid:
+            assert max(h) <= min(mid)
+        if mid and t:
+            assert max(mid) <= min(t)
