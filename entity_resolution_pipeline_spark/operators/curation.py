@@ -392,6 +392,47 @@ def domain_stats(docs_with_url: DataFrame, url_col: str = "url",
     )
 
 
+# Defaults for url_blocklist_gate — a stand-in for the UT1/production
+# blocklist feeds; real deployments swap in a million-domain dim table.
+URL_BADWORD_TOKENS = ["casino", "xxx", "porn", "viagra", "warez"]
+
+
+def url_blocklist_gate(docs_with_url: DataFrame,
+                       blocked_domains: list[str],
+                       badword_tokens: list[str] | None = None,
+                       url_col: str = "url",
+                       id_col: str = "doc_id") -> DataFrame:
+    """URL-level filtering (C4 / FineWeb / RefinedWeb stage zero): drop
+    documents whose eTLD+1 is on a domain blocklist (UT1-style) or whose
+    URL contains an adult/spam token. Runs BEFORE any content is parsed —
+    at 100 TB this is the cheapest gate in the pipeline, so its plan must
+    stay that way: the blocklist is a broadcast dim (BHJ, no shuffle of
+    the corpus), the token rule is one codegen'd regex over the url
+    column, and the output is a zero-exchange projection of the input.
+    Both rule flags are emitted separately so the oracle verifies each.
+    """
+    from ..functions.domains import etld1_col
+
+    if badword_tokens is None:
+        badword_tokens = URL_BADWORD_TOKENS
+    spark = docs_with_url.sparkSession
+    dim = F.broadcast(
+        spark.createDataFrame([(d,) for d in blocked_domains],
+                              "etld1: string")
+        .withColumn("_blk", F.lit(True)))
+    pat = "(" + "|".join(badword_tokens) + ")"
+    d = docs_with_url.withColumn("etld1", etld1_col(F.col(url_col)))
+    out = d.join(dim, "etld1", "left")
+    domain_blocked = F.coalesce(F.col("_blk"), F.lit(False))
+    token_hit = F.lower(F.col(url_col)).rlike(pat)
+    return out.select(
+        F.col(id_col), "etld1",
+        domain_blocked.alias("domain_blocked"),
+        token_hit.alias("url_token_hit"),
+        (~domain_blocked & ~token_hit).alias("keep"),
+    )
+
+
 def pack_sequences(chunks: DataFrame, id_col: str = "doc_id",
                    budget: int = PACK_BUDGET,
                    shards: int = PACK_SHARDS) -> DataFrame:

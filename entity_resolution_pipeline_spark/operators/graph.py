@@ -1,0 +1,108 @@
+"""Link-graph centrality — fixed-point PageRank over a (src, dst) edge
+DataFrame.
+
+Web-corpus curation uses link centrality as a document-quality prior:
+Common Crawl publishes per-domain harmonic-centrality/PageRank ranks, and
+crawl frontier scheduling + quality weighting both consume them (OPIC /
+PageRank-prioritized crawling, Cho et al. 1998). The reference pipeline
+has no graph stage (its web-page inputs arrive pre-crawled), so this is
+an LLM-pipeline extension operator: domains in, centrality out, feeding
+the same gate machinery as `domain_stats`.
+
+Design decisions, in scale order:
+
+* **Power iteration as repeated DataFrame joins.** Each iteration is
+  `edges ⋈ ranks` (shuffle on src) → map-side-combined `sum` per dst →
+  rebase against the node table. On a cluster, `edges` is repartitioned
+  by src ONCE and reused every iteration, so only the slim (node, rank)
+  table moves per round — the classic Pregel-free distributed PageRank
+  shape. No `collect()` of anything data-sized: the only driver scalars
+  are the node count and per-iteration cache bookkeeping.
+* **FIXED-POINT integer arithmetic (micro-ranks).** Double summation is
+  order-dependent across engines; instead ranks live in units of
+  1e-12 (`PR_SCALE`), damping is an integer percent, and every division
+  is integral (`div`), so the whole iteration is exact bigint math —
+  reproducible bit-for-bit in any SQL engine at any partitioning. This
+  is the same trick the BM25 row uses (integer micro-scores) and what
+  makes an ITERATIVE approximate algorithm full-plan oracle-checkable.
+* **Dangling mass stays in-plan.** The rank mass of sink nodes is a
+  1-row aggregate cross-joined (broadcast) back in — no per-iteration
+  driver round-trip.
+
+Overflow headroom: rank ≤ PR_SCALE = 1e12 and `rank * w` must stay under
+2^63 ≈ 9.2e18, so per-edge weights up to ~9e6 are safe; beyond that,
+pre-normalize weights (divide the edge table by a constant) before
+calling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12  # 1.0 of rank mass, in micro-rank units
+PR_DAMPING = 85    # damping as integer percent (0.85)
+
+
+def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+             n_iter: int = 3, damping: int = PR_DAMPING) -> DataFrame:
+    """PageRank over (src, dst) edge rows (parallel edges = weight).
+
+    Returns (node, rank_micro, rank): `rank_micro` is the exact bigint
+    fixed-point value after `n_iter` iterations (hash-checkable);
+    `rank` is the same value as a rounded double for human use.
+
+    Update rule (all integer ops)::
+
+        r0            = PR_SCALE div N
+        contrib(e)    = (rank[src] * w) div out_w[src]
+        dangling      = Σ rank over nodes with no out-edges
+        rank'[v]      = ((100-d)·r0 + d·(Σ contrib(e: dst=v)
+                                         + dangling div N)) div 100
+    """
+    e = (edges.groupBy(F.col(src_col).alias("src"),
+                       F.col(dst_col).alias("dst"))
+         .agg(F.count("*").alias("w")))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = e.join(out_w, "src").persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    n_nodes = nodes.count()  # scalar aggregate — sanctioned collect
+    r0 = PR_SCALE // n_nodes
+
+    ranks = nodes.withColumn("rank", F.lit(r0).cast("long"))
+    own = [e, nodes]
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"),
+                    F.expr("(rank * w) div out_w").alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("inflow"))
+        )
+        dang = (
+            ranks.join(out_w.select(F.col("src").alias("node")),
+                       "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.expr(
+                    f"({100 - damping} * {r0}L"
+                    f" + {damping} * (coalesce(inflow, 0L)"
+                    f"                + dang div {n_nodes}L)) div 100"
+                ).cast("long").alias("rank"),
+            )
+            .persist()
+        )
+        own.append(ranks)
+    out = ranks.select(
+        "node", F.col("rank").alias("rank_micro"),
+        F.round(F.col("rank") / F.lit(float(PR_SCALE)), 9).alias("rank"))
+    # forward every iteration cache for release_persisted (the last one
+    # backs `out` itself and unpersists harmlessly after materialization)
+    out._erps_persisted = own
+    return out

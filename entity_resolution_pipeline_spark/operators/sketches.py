@@ -121,6 +121,86 @@ def kmv_source_overlap(items: DataFrame, group_col: str, item_col: str,
     )
 
 
+HLL_M = 64          # registers (b = 6 index bits)
+_HLL_W_BITS = 54    # 60-bit md5 prefix minus the 6 index bits
+_HLL_RHO_MAX = _HLL_W_BITS + 1
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# Pre-folded estimator numerator: alpha * m^2 * 2^RHO_MAX, so the per-group
+# estimate is ONE double division by an exactly-integer denominator.
+_HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RHO_MAX)
+_HLL_SMALL = 2.5 * HLL_M
+
+
+def hll_register_table(items: DataFrame, group_col: str,
+                       item_col: str) -> DataFrame:
+    """(grp, j, m_j) — HyperLogLog registers (Flajolet et al. 2007) from a
+    60-bit md5 prefix: j = low 6 bits, rho = leading-zero rank of the
+    remaining 54 bits. FIXED m = 64 registers → 64 rows of state per
+    group, ever.
+
+    Two deliberate contrasts with :func:`kmv_sketch_table`:
+
+    * NO distinct pre-pass — ``max(rho)`` is idempotent, so duplicate
+      items fold map-side for free. At 100 TB that removes the one
+      distinct-width exchange KMV needs; the only shuffle here carries
+      at most groups × 64 partially-combined register rows.
+    * The register transform is pure integer/bit arithmetic
+      (``shiftright`` for the index split, base-2 string length for the
+      leading-zero rank), so — unlike Spark's engine-private HLL++
+      registers in ``approx_count_distinct`` — the APPROXIMATE sketch
+      replays exactly in any SQL engine and carries a full-plan oracle.
+    """
+    h = (F.conv(F.substring(F.md5(F.col(item_col)), 1, 15), 16, 10)
+         .cast("long"))
+    w = F.shiftright(h, 6)
+    rho = (F.when(w == 0, F.lit(_HLL_RHO_MAX))
+           .otherwise(F.lit(_HLL_RHO_MAX)
+                      - F.length(F.conv(w.cast("string"), 10, 2))))
+    return (
+        items.select(F.col(group_col).alias("grp"),
+                     F.pmod(h, F.lit(HLL_M)).alias("j"),
+                     rho.alias("rho"))
+        .groupBy("grp", "j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_distinct(items: DataFrame, group_col: str,
+                 item_col: str) -> DataFrame:
+    """Per-group HLL distinct estimate: (group, n_est). Standard
+    bias-corrected estimator with the small-range linear-counting branch
+    (E ≤ 2.5m and empty registers present → m·ln(m/V)).
+
+    Cross-engine determinism: the harmonic sum Σ2^(-m_j) is computed as
+    an INTEGER Σ2^(RHO_MAX-m_j) (order-free bigint addition — double
+    summation order could flip the last ulp between engines), the
+    estimate is then one double division, rounded to 4dp on both sides."""
+    reg = hll_register_table(items, group_col, item_col)
+    agg = reg.groupBy("grp").agg(
+        F.count("*").alias("nz"),
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_RHO_MAX} - m_j)")).alias("s"),
+    )
+    v = F.lit(HLL_M) - F.col("nz")
+    denom = (F.col("s")
+             + v.cast("long") * F.lit(1 << _HLL_RHO_MAX).cast("long"))
+    e_raw = F.lit(_HLL_NUM) / denom.cast("double")
+    est = F.when((e_raw <= F.lit(_HLL_SMALL)) & (v > 0),
+                 F.lit(float(HLL_M))
+                 * F.log(F.lit(float(HLL_M)) / v.cast("double"))) \
+        .otherwise(e_raw)
+    return agg.select(F.col("grp").alias(group_col),
+                      F.round(est, 4).alias("n_est"))
+
+
+def hll_merge(registers: DataFrame) -> DataFrame:
+    """Merge register tables (grp, j, m_j) built over SLICES of a corpus:
+    per-register ``max`` — the HLL monoid. Output matches
+    :func:`hll_register_table` over the unioned input exactly
+    (pytest-pinned), which is what lets 1000 executors sketch partitions
+    independently and roll daily snapshots up at O(m) per group."""
+    return registers.groupBy("grp", "j").agg(F.max("m_j").alias("m_j"))
+
+
 def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
     """Merge sketch tables (grp, h[, _rn]) built over SLICES of a corpus
     into the sketch of the union: distinct + re-truncate to the k

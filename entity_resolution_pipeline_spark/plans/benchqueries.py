@@ -3558,6 +3558,172 @@ FROM g
 """
 
 
+# Blocklist dim for the url_blocklist row — one domain from each of the
+# three synthetic URL families (example.org is the shared eTLD+1 of all
+# sub.hostN hosts, so the multi-label collapse is exercised too).
+URL_BLOCKED_DOMAINS = ["site2.co.uk", "example.org", "cdn5.io"]
+
+
+def q_url_blocklist(spark, sf_dir):
+    """Stage-zero URL filtering (C4 / FineWeb / RefinedWeb): eTLD+1
+    against a broadcast UT1-style domain blocklist + an adult/spam token
+    regex over the raw URL, BEFORE any content parse. URLs use the
+    deterministic per-doc scheme of url_domains with a badword path
+    segment on doc_id % 11 == 0 so both rules fire.
+    Library: operators/curation.py:url_blocklist_gate."""
+    from ..operators.curation import url_blocklist_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    mm = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    path = (F.when(F.pmod(F.col("doc_id"), F.lit(11)) == 0,
+                   F.lit("/casino-night"))
+            .otherwise(F.lit("/page")))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www.site"), mm,
+                                F.lit(".co.uk"), path))
+        .when(m == 1, F.concat(F.lit("http://sub.host"), mm,
+                               F.lit(".example.org:8080"), path))
+        .otherwise(F.concat(F.lit("https://cdn"), mm, F.lit(".io"), path))
+    )
+    return url_blocklist_gate(docs.withColumn("url", url),
+                              URL_BLOCKED_DOMAINS)
+
+
+def _oracle_url_blocklist() -> str:
+    from ..operators.curation import URL_BADWORD_TOKENS
+
+    blocked = ", ".join(f"'{d}'" for d in URL_BLOCKED_DOMAINS)
+    pat = "(" + "|".join(URL_BADWORD_TOKENS) + ")"
+    return rf"""
+WITH u AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.co.uk' || p
+           WHEN 1 THEN 'http://sub.host' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.org:8080' || p
+           ELSE 'https://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.io' || p
+         END AS url
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN '/casino-night'
+                    ELSE '/page' END AS p
+        FROM documents)
+), h AS (
+  SELECT doc_id, url,
+         string_split(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             lower(url),
+             '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''),
+             '[/?#].*$', ''), ':\d+$', ''),
+           '.') AS parts
+  FROM u
+), e AS (
+  SELECT doc_id, url,
+         CASE WHEN len(parts) <= 2 THEN array_to_string(parts, '.')
+              WHEN parts[-2] || '.' || parts[-1] IN
+                   ('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp',
+                    'or.jp','com.au','net.au','org.au','com.br','com.cn',
+                    'com.mx','co.in','co.nz','co.za','com.sg','com.hk',
+                    'com.tr')
+              THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+              ELSE parts[-2] || '.' || parts[-1] END AS etld1
+  FROM h
+)
+SELECT doc_id, etld1,
+       etld1 IN ({blocked}) AS domain_blocked,
+       regexp_matches(lower(url), '{pat}') AS url_token_hit,
+       (NOT etld1 IN ({blocked})
+        AND NOT regexp_matches(lower(url), '{pat}')) AS keep
+FROM e
+"""
+
+
+ORACLE_URL_BLOCKLIST = _oracle_url_blocklist()
+
+
+PAGERANK_ITERS = 3
+
+
+def q_domain_pagerank(spark, sf_dir):
+    """Link-graph centrality (the Common-Crawl-style domain quality
+    prior): PageRank over the deterministic domain link graph — each doc
+    contributes one edge domain(doc_id) → domain(5·doc_id + 3) under the
+    url_domains eTLD+1 scheme. Fixed-point micro-rank arithmetic makes
+    the ITERATIVE approximation bit-exact in SQL, so the oracle replays
+    all three power iterations. Library: operators/graph.py:pagerank."""
+    from ..operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def dom(x):
+        m = F.pmod(x, F.lit(3))
+        mm = F.pmod(x, F.lit(7)).cast("string")
+        return (F.when(m == 0, F.concat(F.lit("site"), mm, F.lit(".co.uk")))
+                .when(m == 1, F.lit("example.org"))
+                .otherwise(F.concat(F.lit("cdn"), mm, F.lit(".io"))))
+
+    edges = docs.select(
+        dom(F.col("doc_id")).alias("src"),
+        dom(F.col("doc_id") * 5 + 3).alias("dst"))
+    return pagerank(edges, n_iter=PAGERANK_ITERS)
+
+
+def _oracle_domain_pagerank() -> str:
+    from ..operators.graph import PR_DAMPING, PR_SCALE
+
+    dom = ("CASE CAST({x} % 3 AS INT)"
+           " WHEN 0 THEN 'site' || CAST({x} % 7 AS VARCHAR) || '.co.uk'"
+           " WHEN 1 THEN 'example.org'"
+           " ELSE 'cdn' || CAST({x} % 7 AS VARCHAR) || '.io' END")
+    d = PR_DAMPING
+    iters = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst AS node, SUM((r.rank * e.w) // e.out_w) AS inflow
+  FROM e JOIN {prev} r ON r.node = e.src GROUP BY e.dst
+), dg{i} AS (
+  SELECT COALESCE(SUM(rank), 0) AS dang FROM {prev}
+  WHERE node NOT IN (SELECT src FROM e)
+), r{i} AS (
+  SELECT n.node,
+         (({100 - d}) * (SELECT rz FROM params)
+          + {d} * (COALESCE(c.inflow, 0)
+                   + (SELECT dang FROM dg{i}) // (SELECT n FROM params)))
+           // 100 AS rank
+  FROM nodes n LEFT JOIN c{i} c USING (node)
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH e0 AS (
+  SELECT {dom.format(x='doc_id')} AS src,
+         {dom.format(x='(5 * doc_id + 3)')} AS dst
+  FROM documents
+), ew AS (
+  SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY src, dst
+), e AS (
+  SELECT ew.src, ew.dst, ew.w, o.out_w
+  FROM ew JOIN (SELECT src, SUM(w) AS out_w FROM ew GROUP BY src) o
+    USING (src)
+), nodes AS (
+  SELECT DISTINCT node FROM
+    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+), params AS (
+  SELECT COUNT(*) AS n, {PR_SCALE} // COUNT(*) AS rz FROM nodes
+), r0 AS (
+  SELECT node, (SELECT rz FROM params) AS rank FROM nodes
+),{','.join(iters)}
+SELECT node, rank AS rank_micro,
+       round(CAST(rank AS DOUBLE) / {float(PR_SCALE)!r}, 9) AS rank
+FROM {prev}
+"""
+
+
+ORACLE_DOMAIN_PAGERANK = _oracle_domain_pagerank()
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (the sample-prep step after chunking): md5-shard
     docs, order chunks within the shard, assign each chunk to the
@@ -4934,6 +5100,82 @@ FROM agg
 """
 
 
+def q_sketch_hll(spark, sf_dir):
+    """Per-source distinct-shingle estimate from a fixed-width
+    HyperLogLog register sketch (m = 64) — the OTHER classic web-scale
+    cardinality sketch beside the bottom-k row above, with a stronger
+    scale shape: no distinct pre-pass at all (max(rho) folds duplicates
+    map-side), state is exactly 64 integer registers per group, and the
+    register transform is pure integer/bit arithmetic so the APPROXIMATE
+    estimator replays exactly in SQL (unlike approx_count_distinct's
+    engine-private HLL++ registers). Small sources exercise the
+    linear-counting branch; large ones the harmonic estimator.
+    Library: operators/sketches.py:hll_distinct."""
+    from ..operators.sketches import hll_distinct
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    items = docs.select(
+        "source",
+        F.explode(shingles_col(F.lower(F.col("text")), 3)).alias("shingle"))
+    return hll_distinct(items, "source", "shingle")
+
+
+# raw (grp, shingle) rows — the HLL path deliberately takes NO DISTINCT
+# (register max is idempotent), so this mirrors the Spark input exactly
+_SKETCH_ITEMS_RAW = r"""
+  SELECT source AS grp, shingle
+  FROM (SELECT source, unnest(sh) AS shingle
+        FROM (SELECT source,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(toks) - 2),
+                                 i -> toks[i] || ' ' || toks[i + 1]
+                                      || ' ' || toks[i + 2]))
+                          WHEN len(toks) > 0
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE [] END AS sh
+              FROM (SELECT source,
+                           list_filter(string_split_regex(
+                             lower(coalesce(text, '')), '\s+'),
+                             x -> x <> '') AS toks
+                    FROM documents)))
+"""
+
+
+def _oracle_sketch_hll() -> str:
+    from ..operators.sketches import (HLL_M, _HLL_NUM, _HLL_RHO_MAX,
+                                      _HLL_SMALL)
+
+    return f"""
+WITH items AS ({_SKETCH_ITEMS_RAW}),
+reg AS (
+  SELECT grp, h % {HLL_M} AS j,
+         max(CASE WHEN (h >> 6) = 0 THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(bin(h >> 6)) END) AS m_j
+  FROM (SELECT grp,
+               CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+        FROM items)
+  GROUP BY grp, j
+), agg AS (
+  SELECT grp, count(*) AS nz,
+         SUM(1::BIGINT << ({_HLL_RHO_MAX} - m_j)) AS s
+  FROM reg GROUP BY grp
+)
+SELECT grp AS source,
+       round(CASE WHEN e_raw <= {_HLL_SMALL!r} AND v > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+                  ELSE e_raw END, 4) AS n_est
+FROM (SELECT grp, {HLL_M} - nz AS v,
+             {_HLL_NUM!r} / CAST(s + ({HLL_M} - nz)
+                                 * (1::BIGINT << {_HLL_RHO_MAX}) AS DOUBLE)
+               AS e_raw
+      FROM agg)
+"""
+
+
+ORACLE_SKETCH_HLL = _oracle_sketch_hll()
+
+
 def q_sketch_source_overlap(spark, sf_dir):
     """Corpus overlap matrix: pairwise source shingle-Jaccard estimated
     from the bottom-k sketches ALONE (X = bottom-k of the merged hashes;
@@ -5727,6 +5969,13 @@ QUERIES = {
     # corpus_mix_temperature — and sketch_source_overlap rotates out —
     # r04-driver-green, KMV machinery shared with the staying
     # sketch_distinct)
+    # (final round-5 additions: url_blocklist / domain_pagerank /
+    # sketch_hll enter the window; rotating out vocab_topk — green
+    # r01-r04, TakeOrdered plan pytest-pinned, corpus word table also
+    # exercised by the staying bpe_train — dedup_containment — r04-green,
+    # same shingle-join contract as the staying dedup_ngram_jaccard — and
+    # dedup_winnow_pairs — r04-green, winnow fingerprints still
+    # driver-checked via the staying docs_winnow)
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "stream_sessionize": q_stream_sessionize,
     "incremental_near_dup": q_incremental_near_dup,
@@ -5747,11 +5996,12 @@ QUERIES = {
     "docs_chunk": q_docs_chunk,
     "pack_sequences": q_pack_sequences,
     "corpus_length_stats": q_corpus_length_stats,
-    "vocab_topk": q_vocab_topk,
     "docs_lm_perplexity": q_docs_lm_perplexity,
     "docs_dup_span": q_docs_dup_span,
     "docs_tfidf": q_docs_tfidf,
     "domain_stats": q_domain_stats,
+    "url_blocklist": q_url_blocklist,
+    "domain_pagerank": q_domain_pagerank,
     "corpus_mix_temperature": q_corpus_mix_temperature,
     "dsir_select": q_dsir_select,
     "stream_dsir": q_stream_dsir,
@@ -5763,6 +6013,7 @@ QUERIES = {
     # deterministic KMV sketches (distinct estimate + overlap matrix)
     "docs_hash_embed": q_docs_hash_embed,
     "sketch_distinct": q_sketch_distinct,
+    "sketch_hll": q_sketch_hll,
     # tokenizer induction (distributed BPE + unigram-LM)
     "bpe_train": q_bpe_train,
     "bpe_segment": q_bpe_segment,
@@ -5774,14 +6025,16 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_containment": q_dedup_containment,
-    "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "dedup_canonical": q_dedup_canonical,
     "dedup_quality_keeper": q_dedup_quality_keeper,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_cc": q_semantic_dedup_cc,
     # retrieval (batch BM25's first driver check) — window ends here
     "bm25_topk": q_bm25_topk,
+    # --- driver-record window boundary is ~here (first 50 entries) ---
+    "vocab_topk": q_vocab_topk,
+    "dedup_containment": q_dedup_containment,
+    "dedup_winnow_pairs": q_dedup_winnow_pairs,
     # ---- tail: rows a 50-row budget clips ----
     # rotated out for the late round-5 rows (see header note)
     "corpus_sample": q_corpus_sample,
@@ -5966,6 +6219,7 @@ ORACLE_SQL = {
     "docs_hash_embed": ORACLE_DOCS_HASH_EMBED,
     "quality_filter": _oracle_quality_filter(),
     "sketch_distinct": ORACLE_SKETCH_DISTINCT,
+    "sketch_hll": ORACLE_SKETCH_HLL,
     "sketch_source_overlap": ORACLE_SKETCH_OVERLAP,
     "semantic_dedup": _oracle_semantic_dedup(),
     "semantic_dedup_cc": _oracle_semantic_dedup_cc(),
@@ -5981,6 +6235,8 @@ ORACLE_SQL = {
     "docs_dup_span": ORACLE_DOCS_DUP_SPAN,
     "docs_tfidf": ORACLE_DOCS_TFIDF,
     "domain_stats": _oracle_domain_stats(),
+    "url_blocklist": ORACLE_URL_BLOCKLIST,
+    "domain_pagerank": ORACLE_DOMAIN_PAGERANK,
     "pack_sequences": _oracle_pack_sequences(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,

@@ -30,6 +30,43 @@ def test_curation_gate_is_zero_shuffle(spark):
     assert _exchanges(plan) == [], plan
 
 
+def test_url_blocklist_gate_broadcasts_the_dim(spark):
+    """Stage-zero URL filtering must never shuffle the corpus: the only
+    join is a BroadcastHashJoin against the blocklist dim, and the only
+    exchange in the plan is the broadcast itself."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        url_blocklist_gate,
+    )
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .withColumn("url", F.concat(F.lit("https://d"),
+                                        (F.col("doc_id") % 9).cast("string"),
+                                        F.lit(".com/x"))))
+    plan = _plan(url_blocklist_gate(docs, ["d3.com", "d7.com"]))
+    assert "BroadcastHashJoin" in plan, plan
+    kinds = re.findall(r"(\w*)Exchange", plan)
+    assert kinds and set(kinds) == {"Broadcast"}, plan
+
+
+def test_url_blocklist_gate_rules(spark):
+    """Each rule fires independently; keep is their NOR."""
+    from entity_resolution_pipeline_spark.operators.curation import (
+        url_blocklist_gate,
+    )
+
+    rows = [(1, "https://www.good.com/article"),
+            (2, "https://bad.com/article"),
+            (3, "https://good.com/casino-bonus"),
+            (4, "https://sub.bad.com/xxx-page")]
+    docs = spark.createDataFrame(rows, "doc_id: long, url: string")
+    got = {r["doc_id"]: (r["domain_blocked"], r["url_token_hit"], r["keep"])
+           for r in url_blocklist_gate(docs, ["bad.com"]).collect()}
+    assert got == {1: (False, False, True),
+                   2: (True, False, False),
+                   3: (False, True, False),
+                   4: (True, True, False)}
+
+
 def test_token_stats_are_zero_shuffle(spark):
     """All three token signals (ws count, BPE-ish count, entropy fold)
     are per-row expressions — no exchange."""

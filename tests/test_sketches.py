@@ -76,6 +76,60 @@ def test_kmv_repartition_invariant(spark):
     assert a == b
 
 
+def test_hll_distinct_error_bound(spark):
+    """HLL with m=64 registers: relative std error ~ 1.04/sqrt(64) ≈ 0.13;
+    allow 3.5 sigma per source, tighter on the mean."""
+    from entity_resolution_pipeline_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    items = _items(spark)
+    est = {r["source"]: r["n_est"]
+           for r in hll_distinct(items, "source", "shingle").collect()}
+    exact = {r["source"]: r["n"]
+             for r in items.groupBy("source")
+             .agg(F.countDistinct("shingle").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for s in exact:
+        rel = abs(est[s] - exact[s]) / exact[s]
+        assert rel <= 0.46, (s, est[s], exact[s])
+    mre = sum(abs(est[s] - exact[s]) / exact[s] for s in exact) / len(exact)
+    assert mre <= 0.15, mre
+
+
+def test_hll_small_range_linear_counting(spark):
+    """A group far below 2.5m distinct items must take the
+    linear-counting branch and land near-exact."""
+    from entity_resolution_pipeline_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    rows = [("tiny", f"item-{i % 12}") for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    (got,) = hll_distinct(df, "grp", "item").collect()
+    assert abs(got["n_est"] - 12) <= 3, got["n_est"]
+
+
+def test_hll_merge_is_a_monoid_and_repartition_invariant(spark):
+    """Register tables over disjoint slices merged with per-register max
+    must equal the whole-corpus register table, at any partitioning —
+    the property that lets 1000 executors sketch independently."""
+    from entity_resolution_pipeline_spark.operators.sketches import (
+        hll_merge, hll_register_table,
+    )
+
+    items = _items(spark)
+    whole = {tuple(r) for r in
+             hll_register_table(items, "source", "shingle").collect()}
+    s1 = hll_register_table(items.where(F.length("shingle") % 2 == 0),
+                            "source", "shingle")
+    s2 = hll_register_table(
+        items.where(F.length("shingle") % 2 == 1).repartition(13),
+        "source", "shingle")
+    merged = {tuple(r) for r in hll_merge(s1.unionByName(s2)).collect()}
+    assert merged == whole
+
+
 def test_kmv_merge_is_a_monoid(spark):
     """Sketching two disjoint corpus slices independently and merging
     must equal sketching the whole corpus — the property distributed
