@@ -56,6 +56,8 @@ BATTERY = [
     "unigram_train", "semantic_dedup_cc", "stream_quality_filter",
     "dsir_select", "dedup_quality_keeper", "cluster_balanced_sample",
     "ccnet_buckets",
+    # final round-5 rows
+    "sketch_hll", "url_blocklist", "domain_pagerank",
 ]
 
 

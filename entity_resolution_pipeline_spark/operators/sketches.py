@@ -175,8 +175,16 @@ def hll_distinct(items: DataFrame, group_col: str,
     an INTEGER Σ2^(RHO_MAX-m_j) (order-free bigint addition — double
     summation order could flip the last ulp between engines), the
     estimate is then one double division, rounded to 4dp on both sides."""
-    reg = hll_register_table(items, group_col, item_col)
-    agg = reg.groupBy("grp").agg(
+    return hll_estimate(hll_register_table(items, group_col, item_col),
+                        group_col)
+
+
+def hll_estimate(registers: DataFrame, group_col: str = "grp") -> DataFrame:
+    """Estimator over a (grp, j, m_j) register table (from
+    :func:`hll_register_table` or a :func:`hll_merge` roll-up):
+    (group, n_est). Split out so incremental register state can be
+    estimated without re-touching any corpus."""
+    agg = registers.groupBy("grp").agg(
         F.count("*").alias("nz"),
         F.sum(F.expr(f"shiftleft(1L, {_HLL_RHO_MAX} - m_j)")).alias("s"),
     )

@@ -2704,6 +2704,19 @@ def q_stream_vocab(spark, sf_dir):
                                timeout_s=240)
 
 
+def q_stream_sketch_hll(spark, sf_dir):
+    """Incremental cardinality monitoring as a foreachBatch stream
+    (streaming/incremental.py:stream_update_hll): documents land as a
+    stream and per-source HLL register state (64 integer registers per
+    group, ever) is monoid-merged per micro-batch. The register merge is
+    exact, so the final estimates equal the one-shot batch sketch —
+    the row shares the batch oracle (ORACLE_SKETCH_HLL)."""
+    from ..streaming.incremental import stream_update_hll
+
+    return stream_update_hll(spark, f"{sf_dir}/documents.parquet",
+                             timeout_s=240)
+
+
 ORACLE_STREAM_VOCAB = r"""
 SELECT word, CAST(COUNT(*) AS BIGINT) AS n
 FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -6053,6 +6066,7 @@ QUERIES = {
     "stream_line_dedup": q_stream_line_dedup,
     "stream_strip_spans": q_stream_strip_spans,
     "stream_vocab": q_stream_vocab,
+    "stream_sketch_hll": q_stream_sketch_hll,
     "stream_bm25": q_stream_bm25,
     # embeddings (driver-green r03/r04 + every committed local record)
     "ann_sq": q_ann_sq,
@@ -6245,6 +6259,7 @@ ORACLE_SQL = {
     "stream_decontaminate": ORACLE_DECONTAMINATE,
     "stream_ann": _oracle_ann_ivf(),
     "stream_vocab": ORACLE_STREAM_VOCAB,
+    "stream_sketch_hll": ORACLE_SKETCH_HLL,
     "stream_strip_spans": ORACLE_STREAM_STRIP_SPANS,
     "stream_bm25": ORACLE_BM25_TOPK,
     "stream_semantic_dedup": _oracle_stream_semantic_dedup(),

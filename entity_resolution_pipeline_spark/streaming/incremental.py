@@ -933,6 +933,82 @@ def stream_update_vocab(
         .select("word", F.col("n").cast("long").alias("n"))
 
 
+def stream_update_hll(
+    spark: SparkSession,
+    delta_path: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Incremental per-group distinct-shingle estimates via HyperLogLog
+    register state: document deltas land as a stream, each micro-batch
+    sketches ONLY its own rows and monoid-merges (per-register max,
+    operators/sketches.py:hll_merge) with the predecessor snapshot —
+    O(|batch| + groups×64) per batch, state bounded at 64 integer
+    registers per group FOREVER, however much corpus has streamed by.
+    This is the always-current cardinality dashboard of an ingest
+    pipeline (vocab coverage, dedup-rate monitors) that never recounts
+    history. Same versioned-snapshot replay discipline as
+    :func:`stream_update_vocab` (snapshot v=<batch_id> derives only from
+    the newest smaller id; a replayed batch overwrites its own snapshot).
+    Because the merge is the HLL monoid, the final registers — and thus
+    the estimates — equal the one-shot batch sketch bit-for-bit, which
+    is what the (shared batch) oracle expresses. Returns (group, n_est).
+    """
+    from ..functions.hashing import shingles_col
+    from ..operators.sketches import hll_estimate, hll_merge
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(delta_path):
+        parent, fname = os.path.split(delta_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(parent)
+    else:
+        stream = reader.parquet(delta_path)
+
+    if sink_dir is None:
+        sink_dir = _tmp_sink_dir("inc_hll_sink_")
+    ckpt = os.path.join(sink_dir, "_checkpoint")
+    out_dir = os.path.join(sink_dir, "versions")
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(out_dir):
+            return []
+        return sorted(int(d.split("=", 1)[1]) for d in os.listdir(out_dir)
+                      if d.startswith("v="))
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.sketches import hll_register_table
+
+        items = batch.select(
+            F.col(group_col),
+            F.explode(shingles_col(F.lower(F.col(text_col)), 3))
+            .alias("shingle"))
+        regs = hll_register_table(items, group_col, "shingle")
+        prior = [v for v in _versions() if v < batch_id]
+        if prior:
+            prev = spark.read.parquet(os.path.join(out_dir, f"v={prior[-1]}"))
+            regs = hll_merge(regs.unionByName(prev))
+        regs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"v={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, timeout_s, "hll registers")
+    vs = _versions()
+    if not vs:
+        return spark.createDataFrame([], f"{group_col} string, n_est double")
+    regs = spark.read.parquet(os.path.join(out_dir, f"v={vs[-1]}"))
+    return hll_estimate(regs, group_col)
+
+
 # --- incremental decontamination: new benchmarks probe the static corpus -----
 
 

@@ -145,6 +145,42 @@ def test_stream_update_vocab_batching_invariant(spark, tmp_path):
     assert got2 == want
 
 
+def test_stream_update_hll_batching_invariant(spark, tmp_path):
+    """Streamed HLL register state equals the one-shot batch sketch for a
+    single micro-batch AND file-at-a-time batches (per-register max is
+    the HLL monoid), so the estimates match bit-for-bit."""
+    from entity_resolution_pipeline_spark.functions.hashing import (
+        shingles_col,
+    )
+    from entity_resolution_pipeline_spark.operators.sketches import (
+        hll_distinct,
+    )
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_update_hll,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_TINY, "documents.parquet")) \
+        .limit(120)
+    items = docs.select(
+        "source",
+        F.explode(shingles_col(F.lower(F.col("text")), 3)).alias("shingle"))
+    want = {(r["source"], r["n_est"]) for r in
+            hll_distinct(items, "source", "shingle").collect()}
+
+    one = str(tmp_path / "one")
+    docs.coalesce(1).write.parquet(one)
+    got1 = {(r["source"], r["n_est"]) for r in stream_update_hll(
+        spark, one, sink_dir=str(tmp_path / "s1")).collect()}
+    assert got1 == want
+
+    many = str(tmp_path / "many")
+    docs.repartition(4).write.parquet(many)
+    got2 = {(r["source"], r["n_est"]) for r in stream_update_hll(
+        spark, many, max_files_per_trigger=1,
+        sink_dir=str(tmp_path / "s2")).collect()}
+    assert got2 == want
+
+
 def test_stream_strip_spans_batching_invariant(spark, tmp_path):
     """Ingest-time span removal equals the one-shot delta-vs-corpus
     operator for one batch AND file-at-a-time batches, and the stream
