@@ -45,8 +45,13 @@ PR_DAMPING = 85    # damping as integer percent (0.85)
 
 
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
-             n_iter: int = 3, damping: int = PR_DAMPING) -> DataFrame:
-    """PageRank over (src, dst) edge rows (parallel edges = weight).
+             n_iter: int = 3, damping: int = PR_DAMPING,
+             weight_col: str | None = None) -> DataFrame:
+    """PageRank over (src, dst) edge rows (parallel edges = weight; or
+    pass ``weight_col`` for a pre-aggregated weighted edge table, e.g.
+    the incremental link-graph state of ``stream_update_linkgraph`` —
+    summing weights of duplicate (src, dst) rows either way, so the two
+    input shapes are equivalent).
 
     Returns (node, rank_micro, rank): `rank_micro` is the exact bigint
     fixed-point value after `n_iter` iterations (hash-checkable);
@@ -60,9 +65,11 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         rank'[v]      = ((100-d)·r0 + d·(Σ contrib(e: dst=v)
                                          + dangling div N)) div 100
     """
+    w_agg = (F.sum(F.col(weight_col)).cast("long") if weight_col
+             else F.count("*"))
     e = (edges.groupBy(F.col(src_col).alias("src"),
                        F.col(dst_col).alias("dst"))
-         .agg(F.count("*").alias("w")))
+         .agg(w_agg.alias("w")))
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     e = e.join(out_w, "src").persist()
     nodes = (e.select(F.col("src").alias("node"))

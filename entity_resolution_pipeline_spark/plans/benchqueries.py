@@ -2717,6 +2717,21 @@ def q_stream_sketch_hll(spark, sf_dir):
                              timeout_s=240)
 
 
+def q_stream_pagerank(spark, sf_dir):
+    """Incremental link-graph centrality as a foreachBatch stream
+    (streaming/incremental.py:stream_update_linkgraph): documents land
+    as a stream, each micro-batch's domain edges monoid-merge into the
+    weighted edge snapshot, and PageRank re-ranks the final accreted
+    graph — edge-count merge is exact and ranks are a deterministic
+    function of the edge multiset, so the row shares the batch oracle
+    (ORACLE_DOMAIN_PAGERANK)."""
+    from ..streaming.incremental import stream_update_linkgraph
+
+    return stream_update_linkgraph(
+        spark, f"{sf_dir}/documents.parquet", _pr_edges,
+        n_iter=PAGERANK_ITERS, timeout_s=240)
+
+
 ORACLE_STREAM_VOCAB = r"""
 SELECT word, CAST(COUNT(*) AS BIGINT) AS n
 FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -3668,18 +3683,21 @@ def q_domain_pagerank(spark, sf_dir):
     from ..operators.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents")
+    return pagerank(_pr_edges(docs), n_iter=PAGERANK_ITERS)
 
-    def dom(x):
-        m = F.pmod(x, F.lit(3))
-        mm = F.pmod(x, F.lit(7)).cast("string")
-        return (F.when(m == 0, F.concat(F.lit("site"), mm, F.lit(".co.uk")))
-                .when(m == 1, F.lit("example.org"))
-                .otherwise(F.concat(F.lit("cdn"), mm, F.lit(".io"))))
 
-    edges = docs.select(
-        dom(F.col("doc_id")).alias("src"),
-        dom(F.col("doc_id") * 5 + 3).alias("dst"))
-    return pagerank(edges, n_iter=PAGERANK_ITERS)
+def _pr_dom(x):
+    m = F.pmod(x, F.lit(3))
+    mm = F.pmod(x, F.lit(7)).cast("string")
+    return (F.when(m == 0, F.concat(F.lit("site"), mm, F.lit(".co.uk")))
+            .when(m == 1, F.lit("example.org"))
+            .otherwise(F.concat(F.lit("cdn"), mm, F.lit(".io"))))
+
+
+def _pr_edges(docs):
+    return docs.select(
+        _pr_dom(F.col("doc_id")).alias("src"),
+        _pr_dom(F.col("doc_id") * 5 + 3).alias("dst"))
 
 
 def _oracle_domain_pagerank() -> str:
@@ -6067,6 +6085,7 @@ QUERIES = {
     "stream_strip_spans": q_stream_strip_spans,
     "stream_vocab": q_stream_vocab,
     "stream_sketch_hll": q_stream_sketch_hll,
+    "stream_pagerank": q_stream_pagerank,
     "stream_bm25": q_stream_bm25,
     # embeddings (driver-green r03/r04 + every committed local record)
     "ann_sq": q_ann_sq,
@@ -6260,6 +6279,7 @@ ORACLE_SQL = {
     "stream_ann": _oracle_ann_ivf(),
     "stream_vocab": ORACLE_STREAM_VOCAB,
     "stream_sketch_hll": ORACLE_SKETCH_HLL,
+    "stream_pagerank": ORACLE_DOMAIN_PAGERANK,
     "stream_strip_spans": ORACLE_STREAM_STRIP_SPANS,
     "stream_bm25": ORACLE_BM25_TOPK,
     "stream_semantic_dedup": _oracle_stream_semantic_dedup(),

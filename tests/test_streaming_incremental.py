@@ -181,6 +181,40 @@ def test_stream_update_hll_batching_invariant(spark, tmp_path):
     assert got2 == want
 
 
+def test_stream_update_linkgraph_batching_invariant(spark, tmp_path):
+    """Accreted edge state + final re-rank equals one-shot PageRank for
+    a single micro-batch AND file-at-a-time batches (edge counts are a
+    monoid; ranks are a deterministic function of the edge multiset)."""
+    from entity_resolution_pipeline_spark.operators.graph import pagerank
+    from entity_resolution_pipeline_spark.operators.scoring import (
+        release_persisted,
+    )
+    from entity_resolution_pipeline_spark.streaming.incremental import (
+        stream_update_linkgraph,
+    )
+
+    def edges(docs):
+        def dom(x):
+            return F.concat(F.lit("d"), F.pmod(x, F.lit(5)).cast("string"))
+        return docs.select(dom(F.col("doc_id")).alias("src"),
+                           dom(F.col("doc_id") * 3 + 1).alias("dst"))
+
+    docs = spark.read.parquet(os.path.join(SF_TINY, "documents.parquet")) \
+        .limit(120)
+    ref = pagerank(edges(docs), n_iter=3)
+    want = {(r["node"], r["rank_micro"]) for r in ref.collect()}
+    release_persisted(ref)
+
+    many = str(tmp_path / "many")
+    docs.repartition(4).write.parquet(many)
+    got = stream_update_linkgraph(
+        spark, many, edges, n_iter=3, max_files_per_trigger=1,
+        sink_dir=str(tmp_path / "s1"))
+    rows = {(r["node"], r["rank_micro"]) for r in got.collect()}
+    release_persisted(got)
+    assert rows == want
+
+
 def test_stream_strip_spans_batching_invariant(spark, tmp_path):
     """Ingest-time span removal equals the one-shot delta-vs-corpus
     operator for one batch AND file-at-a-time batches, and the stream
