@@ -76,6 +76,11 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().persist())
     n_nodes = nodes.count()  # scalar aggregate — sanctioned collect
+    if n_nodes == 0:  # empty graph: no nodes, no ranks
+        e.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank_micro bigint, rank double")
     r0 = PR_SCALE // n_nodes
 
     ranks = nodes.withColumn("rank", F.lit(r0).cast("long"))

@@ -68,3 +68,10 @@ def test_pagerank_mass_approximately_conserved(spark):
     # doubles mirror the fixed-point values
     for r in rows:
         assert abs(r["rank"] - r["rank_micro"] / PR_SCALE) < 1e-9
+
+
+def test_pagerank_empty_graph(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(df, n_iter=2)
+    assert out.count() == 0
+    assert out.columns == ["node", "rank_micro", "rank"]
