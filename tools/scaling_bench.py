@@ -299,7 +299,9 @@ Aggregated e2e bench JSON (stage_sec = per-stage medians):
     extra = ""
     try:
         prev = open(os.path.join(REPO, "BENCH", "BASELINE.md")).read()
-        for tag in ("r4-confirmation", "pairs-attribution", "curation-scaling"):
+        for tag in ("r4-confirmation", "pairs-attribution",
+                    "curation-scaling", "r5-confirmation",
+                    "battery-remeasure", "dsir-scaling"):
             b, e = f"<!-- {tag}:begin -->", f"<!-- {tag}:end -->"
             if b in prev and e in prev:
                 extra += "\n" + prev[prev.index(b):prev.index(e) + len(e)] + "\n"
