@@ -57,7 +57,7 @@ BATTERY = [
     "dsir_select", "dedup_quality_keeper", "cluster_balanced_sample",
     "ccnet_buckets",
     # final round-5 rows
-    "sketch_hll", "url_blocklist", "domain_pagerank",
+    "sketch_hll", "url_blocklist", "domain_pagerank", "domain_harmonic",
 ]
 
 

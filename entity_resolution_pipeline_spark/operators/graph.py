@@ -37,11 +37,87 @@ calling.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PR_SCALE = 10**12  # 1.0 of rank mass, in micro-rank units
 PR_DAMPING = 85    # damping as integer percent (0.85)
+
+
+def hyperball_harmonic(edges: DataFrame, src_col: str = "src",
+                       dst_col: str = "dst", n_iter: int = 3) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna 2013) — the
+    algorithm behind Common Crawl's published per-domain harmonic
+    centrality ranks — on the repo's SQL-replayable HLL registers.
+
+    Per node, maintain an HLL sketch of its distance-t ball
+    B_t(v) = B_{t-1}(v) ∪ ⋃_{(v,w)∈E} B_{t-1}(w); the t-th shell size is
+    |B_t| − |B_{t-1}| and harmonic centrality is Σ_t shell_t / t
+    truncated at ``n_iter`` hops. Distances here follow OUT-edges from
+    ``v`` (reachability FROM v); pass reversed edges for the classic
+    Σ 1/d(u→v) formulation — the battery row does exactly that.
+
+    Scale shape: state is nodes × 64 integer registers FOREVER (the
+    whole point of HyperBall — exact neighborhood sets are quadratic);
+    each iteration is one edges ⋈ registers join (shuffle on dst)
+    followed by a map-side-combined per-register max. Cross-engine
+    determinism is inherited from the sketch module: register updates
+    are integer max-merges and every ball-size estimate is the
+    integer-harmonic-sum estimator rounded to 4dp, so the whole
+    APPROXIMATE centrality replays bit-for-bit in SQL. The shell sum
+    itself runs in INTEGER micro-units (4dp ball sizes ×10⁴ are exact
+    integers; 1/t becomes the lcm(1..T)/t coefficient), so no float
+    addition order or half-way rounding can diverge between engines —
+    ``harmonic_micro`` is the hash anchor and ``harmonic`` is one
+    unrounded IEEE division of it (identical bits on any engine).
+
+    Returns (node, n_ball_0..n_ball_T, harmonic_micro, harmonic) —
+    ball sizes ride along so the oracle pins every iteration, not just
+    the final score.
+    """
+    from .sketches import hll_estimate, hll_merge, hll_register_table
+
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    # B_0(v) = {v}: sketch the node id itself
+    regs = hll_register_table(
+        nodes.withColumn("item", F.col("node")), "node", "item").persist()
+    own = [e, regs]
+    ests = [hll_estimate(regs, "node")
+            .withColumnRenamed("n_est", "n_ball_0")]
+    for t in range(1, n_iter + 1):
+        neigh = (
+            e.join(regs.withColumnRenamed("grp", "dst_node"),
+                   e["dst"] == F.col("dst_node"))
+            .select(F.col("src").alias("grp"), "j", "m_j")
+        )
+        regs = hll_merge(neigh.unionByName(regs.select("grp", "j", "m_j"))) \
+            .persist()
+        own.append(regs)
+        ests.append(hll_estimate(regs, "node")
+                    .withColumnRenamed("n_est", f"n_ball_{t}"))
+    out = ests[0]
+    for est in ests[1:]:
+        out = out.join(est, "node")
+    lcm = math.lcm(*range(1, n_iter + 1))
+    micro = None
+    for t in range(1, n_iter + 1):
+        diff = (F.round(F.col(f"n_ball_{t}") * 10000).cast("long")
+                - F.round(F.col(f"n_ball_{t-1}") * 10000).cast("long"))
+        term = F.lit(lcm // t).cast("long") * diff
+        micro = term if micro is None else micro + term
+    out = (out.withColumn("harmonic_micro", micro)
+           .withColumn("harmonic",
+                       F.col("harmonic_micro")
+                       / F.lit(float(lcm * 10000))))
+    out._erps_persisted = own
+    return out
 
 
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",

@@ -3755,6 +3755,100 @@ FROM {prev}
 ORACLE_DOMAIN_PAGERANK = _oracle_domain_pagerank()
 
 
+HARMONIC_ITERS = 3
+
+
+def q_domain_harmonic(spark, sf_dir):
+    """HyperBall harmonic centrality (Boldi & Vigna 2013 — the algorithm
+    behind Common Crawl's published domain ranks) over the same
+    deterministic domain link graph as domain_pagerank, on REVERSED
+    edges so the score is the classic Σ 1/d(u→v). Per-node HLL ball
+    sketches propagate along edges; every ball-size estimate and the
+    final score replay bit-for-bit in SQL (register max-merges are
+    integer, shell sums are one fixed-order expression).
+    Library: operators/graph.py:hyperball_harmonic."""
+    from ..operators.graph import hyperball_harmonic
+
+    docs = _t(spark, sf_dir, "documents")
+    rev = _pr_edges(docs).select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"))
+    return hyperball_harmonic(rev, n_iter=HARMONIC_ITERS)
+
+
+def _oracle_domain_harmonic() -> str:
+    from ..operators.graph import PR_DAMPING  # noqa: F401  (same module)
+    from ..operators.sketches import (HLL_M, _HLL_NUM, _HLL_RHO_MAX,
+                                      _HLL_SMALL)
+
+    dom = ("CASE CAST({x} % 3 AS INT)"
+           " WHEN 0 THEN 'site' || CAST({x} % 7 AS VARCHAR) || '.co.uk'"
+           " WHEN 1 THEN 'example.org'"
+           " ELSE 'cdn' || CAST({x} % 7 AS VARCHAR) || '.io' END")
+
+    def est(reg, out):
+        return f"""
+{out} AS (
+  SELECT grp AS node,
+         round(CASE WHEN e_raw <= {_HLL_SMALL!r} AND v > 0
+                    THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+                    ELSE e_raw END, 4) AS n_est
+  FROM (SELECT grp, {HLL_M} - nz AS v,
+               {_HLL_NUM!r} / CAST(s + ({HLL_M} - nz)
+                                   * (1::BIGINT << {_HLL_RHO_MAX}) AS DOUBLE)
+                 AS e_raw
+        FROM (SELECT grp, count(*) AS nz,
+                     SUM(1::BIGINT << ({_HLL_RHO_MAX} - m_j)) AS s
+              FROM {reg} GROUP BY grp))
+)"""
+
+    parts = []
+    for t in range(1, HARMONIC_ITERS + 1):
+        parts.append(f"""
+reg{t} AS (
+  SELECT grp, j, max(m_j) AS m_j FROM (
+    SELECT e.src AS grp, r.j, r.m_j
+    FROM e JOIN reg{t - 1} r ON r.grp = e.dst
+    UNION ALL
+    SELECT grp, j, m_j FROM reg{t - 1}
+  ) GROUP BY grp, j
+),{est(f'reg{t}', f'n{t}')}""")
+    import math as _math
+    lcm = _math.lcm(*range(1, HARMONIC_ITERS + 1))
+    shell = " + ".join(
+        f"{lcm // t}::BIGINT * (CAST(round(n{t}.n_est * 10000) AS BIGINT)"
+        f" - CAST(round(n{t - 1}.n_est * 10000) AS BIGINT))"
+        for t in range(1, HARMONIC_ITERS + 1))
+    ball_cols = ", ".join(
+        f"n{t}.n_est AS n_ball_{t}" for t in range(HARMONIC_ITERS + 1))
+    joins = " ".join(
+        f"JOIN n{t} ON n{t}.node = n0.node"
+        for t in range(1, HARMONIC_ITERS + 1))
+    return f"""
+WITH e AS (
+  SELECT DISTINCT {dom.format(x='(5 * doc_id + 3)')} AS src,
+                  {dom.format(x='doc_id')} AS dst
+  FROM documents
+), nodes AS (
+  SELECT DISTINCT node FROM
+    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+), reg0 AS (
+  SELECT grp, h % {HLL_M} AS j,
+         max(CASE WHEN (h >> 6) = 0 THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(bin(h >> 6)) END) AS m_j
+  FROM (SELECT node AS grp,
+               CAST(('0x' || substring(md5(node), 1, 15)) AS BIGINT) AS h
+        FROM nodes)
+  GROUP BY grp, j
+),{est('reg0', 'n0')},{','.join(parts)}
+SELECT n0.node, {ball_cols}, ({shell}) AS harmonic_micro,
+       ({shell}) / {float(lcm * 10000)!r} AS harmonic
+FROM n0 {joins}
+"""
+
+
+ORACLE_DOMAIN_HARMONIC = _oracle_domain_harmonic()
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (the sample-prep step after chunking): md5-shard
     docs, order chunks within the shard, assign each chunk to the
@@ -6007,6 +6101,10 @@ QUERIES = {
     # same shingle-join contract as the staying dedup_ngram_jaccard — and
     # dedup_winnow_pairs — r04-green, winnow fingerprints still
     # driver-checked via the staying docs_winnow)
+    # (domain_harmonic enters last; pack_sequences rotates out —
+    # r04-driver-green, its chunk fan-out + shard windows stay exercised
+    # by docs_chunk and the training_corpus capstone, and its window
+    # plan shape is pytest-pinned)
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "stream_sessionize": q_stream_sessionize,
     "incremental_near_dup": q_incremental_near_dup,
@@ -6025,7 +6123,6 @@ QUERIES = {
     "docs_token_stats": q_docs_token_stats,
     "docs_winnow": q_docs_winnow,
     "docs_chunk": q_docs_chunk,
-    "pack_sequences": q_pack_sequences,
     "corpus_length_stats": q_corpus_length_stats,
     "docs_lm_perplexity": q_docs_lm_perplexity,
     "docs_dup_span": q_docs_dup_span,
@@ -6033,6 +6130,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "url_blocklist": q_url_blocklist,
     "domain_pagerank": q_domain_pagerank,
+    "domain_harmonic": q_domain_harmonic,
     "corpus_mix_temperature": q_corpus_mix_temperature,
     "dsir_select": q_dsir_select,
     "stream_dsir": q_stream_dsir,
@@ -6063,6 +6161,7 @@ QUERIES = {
     # retrieval (batch BM25's first driver check) — window ends here
     "bm25_topk": q_bm25_topk,
     # --- driver-record window boundary is ~here (first 50 entries) ---
+    "pack_sequences": q_pack_sequences,
     "vocab_topk": q_vocab_topk,
     "dedup_containment": q_dedup_containment,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
@@ -6270,6 +6369,7 @@ ORACLE_SQL = {
     "domain_stats": _oracle_domain_stats(),
     "url_blocklist": ORACLE_URL_BLOCKLIST,
     "domain_pagerank": ORACLE_DOMAIN_PAGERANK,
+    "domain_harmonic": ORACLE_DOMAIN_HARMONIC,
     "pack_sequences": _oracle_pack_sequences(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,

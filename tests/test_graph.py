@@ -75,3 +75,102 @@ def test_pagerank_empty_graph(spark):
     out = pagerank(df, n_iter=2)
     assert out.count() == 0
     assert out.columns == ["node", "rank_micro", "rank"]
+
+
+def _exact_truncated_harmonic(edges, n_iter=3):
+    """Σ 1/d(v→u) over u reachable within n_iter hops, exact BFS."""
+    adj = {}
+    nodes = set()
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+        nodes.update((s, t))
+    out = {}
+    for v in sorted(nodes):
+        dist = {v: 0}
+        frontier = [v]
+        for d in range(1, n_iter + 1):
+            nxt = []
+            for x in frontier:
+                for y in adj.get(x, ()):
+                    if y not in dist:
+                        dist[y] = d
+                        nxt.append(y)
+            frontier = nxt
+        out[v] = sum(1.0 / d for u, d in dist.items() if d > 0)
+    return out
+
+
+def test_hyperball_harmonic_structure_on_toy_graph(spark):
+    """Structural properties the sketch noise cannot break: a node with
+    no out-edges scores exactly 0, the hub outranks the chain, and every
+    node's score is bounded by its exact truncated harmonic plus the
+    worst-case sketch slack."""
+    from entity_resolution_pipeline_spark.operators.graph import (
+        hyperball_harmonic,
+    )
+
+    # a hub (h -> many), a chain, and an isolate-ish tail
+    edges = ([("h", f"x{i}") for i in range(8)]
+             + [(f"x{i}", f"x{i+1}") for i in range(7)]
+             + [("a", "b"), ("b", "c")])
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = hyperball_harmonic(df, n_iter=3)
+    got = {r["node"]: r["harmonic"] for r in out.collect()}
+    release_persisted(out)
+    want = _exact_truncated_harmonic(edges, n_iter=3)
+    assert set(got) == set(want)
+    # sink: empty shells at every t, exactly zero by construction
+    assert got["x7"] == 0.0
+    # the hub reaches the most mass at these separations
+    assert got["h"] == max(got.values())
+    # at ball sizes ≤ 9 over 64 registers, per-node collision quanta are
+    # ~1 unit each — generous absolute slack, still catches real breaks
+    for v in want:
+        assert abs(got[v] - want[v]) <= 3.0, (v, got[v], want[v])
+
+
+def test_hyperball_harmonic_tracks_exact_bfs_at_size(spark):
+    """On a 300-node expander (5 out-edges per node, balls of ~150 at
+    t=3) the estimator leaves the linear-counting quanta behind and the
+    per-node relative error obeys the HLL m=64 bound; the mean is much
+    tighter."""
+    from entity_resolution_pipeline_spark.operators.graph import (
+        hyperball_harmonic,
+    )
+
+    n = 300
+    edges = [(f"n{i}", f"n{(i * k + b) % n}")
+             for i in range(n) for k, b in
+             ((7, 1), (13, 5), (29, 11), (41, 17), (53, 23))
+             if (i * k + b) % n != i]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = hyperball_harmonic(df, n_iter=3)
+    got = {r["node"]: r["harmonic"] for r in out.collect()}
+    release_persisted(out)
+    want = _exact_truncated_harmonic(edges, n_iter=3)
+    rels = [abs(got[v] - want[v]) / want[v] for v in want if want[v] > 0]
+    # vanilla Flajolet (no HLL++ bias tables) has its documented bias
+    # spike in the 2.5m crossover region the t=2 balls sit in — allow a
+    # fat per-node tail, gate on the mean
+    assert max(rels) <= 0.7, max(rels)
+    assert sum(rels) / len(rels) <= 0.18, sum(rels) / len(rels)
+
+
+def test_hyperball_balls_monotone_and_repartition_invariant(spark):
+    from entity_resolution_pipeline_spark.operators.graph import (
+        hyperball_harmonic,
+    )
+
+    edges = [(f"n{i}", f"n{(3 * i + 1) % 11}") for i in range(11)] * 5
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = hyperball_harmonic(df, n_iter=3)
+    rows_a = sorted(tuple(r) for r in a.collect())
+    release_persisted(a)
+    for r in rows_a:
+        node, b0, b1, b2, b3, micro, h = r
+        assert b0 <= b1 <= b2 <= b3  # balls only grow
+        assert h >= 0
+    b = hyperball_harmonic(df.repartition(13), n_iter=3)
+    rows_b = sorted(tuple(r) for r in b.collect())
+    release_persisted(b)
+    assert rows_a == rows_b
