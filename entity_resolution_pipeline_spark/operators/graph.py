@@ -1,5 +1,5 @@
-"""Link-graph centrality — fixed-point PageRank over a (src, dst) edge
-DataFrame.
+"""Link-graph centrality over a (src, dst) edge DataFrame: fixed-point
+PageRank and HyperBall harmonic centrality.
 
 Web-corpus curation uses link centrality as a document-quality prior:
 Common Crawl publishes per-domain harmonic-centrality/PageRank ranks, and
