@@ -120,6 +120,57 @@ def hyperball_harmonic(edges: DataFrame, src_col: str = "src",
     return out
 
 
+def triangle_stats(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    UNDIRECTED simple graph of the edge rows (direction and
+    multiplicity dropped; self-loops ignored) — the classic link-farm /
+    spam-cluster signal: organically linked domains close triangles,
+    spray-linked spam farms don't.
+
+    Exact and integer-valued: n_neighbors, n_triangles (triangles
+    through the node), n_wedges = C(deg, 2); ``clustering`` is the one
+    IEEE division n_tri/n_wedges (unrounded — identical bits on any
+    engine), 0.0 when deg < 2.
+
+    Plan: normalize to canonical (u < v) edges, build the symmetric
+    adjacency, one adjacency self-join on the center node (the Σdeg²
+    wedge enumeration — per-NODE counts need every closed wedge, unlike
+    a global count which would orient edges by degree to halve work),
+    then one semi-join-shaped edge probe closes wedges. Joins shuffle on
+    node / canonical pair keys; no driver-side anything. At web scale
+    the wedge join is the documented cost center and is exactly the
+    shape AQE skew-handles (celebrity domains = hot center keys)."""
+    u, v = F.col(src_col), F.col(dst_col)
+    und = (edges.where(u != v)
+           .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+           .distinct().persist())
+    adj = (und.select(F.col("u").alias("node"), F.col("v").alias("nb"))
+           .unionByName(
+               und.select(F.col("v").alias("node"), F.col("u").alias("nb"))))
+    deg = adj.groupBy("node").agg(F.count("*").alias("n_neighbors"))
+    a = adj.select("node", F.col("nb").alias("a"))
+    b = adj.select("node", F.col("nb").alias("b"))
+    wedges = a.join(b, "node").where(F.col("a") < F.col("b"))
+    closed = wedges.join(
+        und, (wedges["a"] == und["u"]) & (wedges["b"] == und["v"]),
+        "left_semi")
+    tri = closed.groupBy("node").agg(F.count("*").alias("n_triangles"))
+    out = (deg.join(tri, "node", "left")
+           .select(
+               "node", "n_neighbors",
+               F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+               (F.col("n_neighbors") * (F.col("n_neighbors") - 1) / 2)
+               .cast("long").alias("n_wedges"))
+           .withColumn(
+               "clustering",
+               F.when(F.col("n_wedges") > 0,
+                      F.col("n_triangles") / F.col("n_wedges")
+                      .cast("double")).otherwise(F.lit(0.0))))
+    out._erps_persisted = [und]
+    return out
+
+
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              n_iter: int = 3, damping: int = PR_DAMPING,
              weight_col: str | None = None) -> DataFrame:

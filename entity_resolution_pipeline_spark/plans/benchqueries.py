@@ -3849,6 +3849,68 @@ FROM n0 {joins}
 ORACLE_DOMAIN_HARMONIC = _oracle_domain_harmonic()
 
 
+def q_domain_triangles(spark, sf_dir):
+    """Per-domain triangle counts + local clustering coefficient (the
+    link-farm signal: organic neighborhoods close triangles, spray-link
+    spam doesn't) over a TWO-generator domain link graph — edges
+    domain(id)→domain(5·id+3) and domain(id)→domain(3·id+1) — so both
+    triangle-rich and triangle-free nodes appear. Exact integer counts;
+    clustering is one unrounded IEEE division.
+    Library: operators/graph.py:triangle_stats."""
+    from ..operators.graph import triangle_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    e1 = _pr_edges(docs)
+    e2 = docs.select(
+        _pr_dom(F.col("doc_id")).alias("src"),
+        _pr_dom(F.col("doc_id") * 3 + 1).alias("dst"))
+    return triangle_stats(e1.unionByName(e2))
+
+
+def _oracle_domain_triangles() -> str:
+    dom = ("CASE CAST({x} % 3 AS INT)"
+           " WHEN 0 THEN 'site' || CAST({x} % 7 AS VARCHAR) || '.co.uk'"
+           " WHEN 1 THEN 'example.org'"
+           " ELSE 'cdn' || CAST({x} % 7 AS VARCHAR) || '.io' END")
+    return f"""
+WITH e0 AS (
+  SELECT {dom.format(x='doc_id')} AS src,
+         {dom.format(x='(5 * doc_id + 3)')} AS dst
+  FROM documents
+  UNION ALL
+  SELECT {dom.format(x='doc_id')} AS src,
+         {dom.format(x='(3 * doc_id + 1)')} AS dst
+  FROM documents
+), und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e0 WHERE src <> dst
+), adj AS (
+  SELECT u AS node, v AS nb FROM und
+  UNION ALL
+  SELECT v AS node, u AS nb FROM und
+), deg AS (
+  SELECT node, COUNT(*) AS n_neighbors FROM adj GROUP BY node
+), tri AS (
+  SELECT a.node, COUNT(*) AS n_triangles
+  FROM adj a JOIN adj b ON a.node = b.node AND a.nb < b.nb
+  WHERE EXISTS (SELECT 1 FROM und
+                WHERE und.u = a.nb AND und.v = b.nb)
+  GROUP BY a.node
+)
+SELECT d.node, d.n_neighbors,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       CAST(d.n_neighbors * (d.n_neighbors - 1) / 2 AS BIGINT) AS n_wedges,
+       CASE WHEN d.n_neighbors >= 2
+            THEN COALESCE(t.n_triangles, 0)
+                 / CAST(d.n_neighbors * (d.n_neighbors - 1) / 2 AS DOUBLE)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tri t USING (node)
+"""
+
+
+ORACLE_DOMAIN_TRIANGLES = _oracle_domain_triangles()
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (the sample-prep step after chunking): md5-shard
     docs, order chunks within the shard, assign each chunk to the
@@ -6101,10 +6163,11 @@ QUERIES = {
     # same shingle-join contract as the staying dedup_ngram_jaccard — and
     # dedup_winnow_pairs — r04-green, winnow fingerprints still
     # driver-checked via the staying docs_winnow)
-    # (domain_harmonic enters last; pack_sequences rotates out —
-    # r04-driver-green, its chunk fan-out + shard windows stay exercised
-    # by docs_chunk and the training_corpus capstone, and its window
-    # plan shape is pytest-pinned)
+    # (domain_harmonic + domain_triangles enter last; pack_sequences and
+    # docs_chunk rotate out — both r04-driver-green, their chunk fan-out
+    # + shard-window machinery stays exercised inside the staying
+    # training_corpus capstone, and pack's window plan shape is
+    # pytest-pinned)
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "stream_sessionize": q_stream_sessionize,
     "incremental_near_dup": q_incremental_near_dup,
@@ -6122,7 +6185,6 @@ QUERIES = {
     "curation_gate_extended": q_curation_gate_extended,
     "docs_token_stats": q_docs_token_stats,
     "docs_winnow": q_docs_winnow,
-    "docs_chunk": q_docs_chunk,
     "corpus_length_stats": q_corpus_length_stats,
     "docs_lm_perplexity": q_docs_lm_perplexity,
     "docs_dup_span": q_docs_dup_span,
@@ -6131,6 +6193,7 @@ QUERIES = {
     "url_blocklist": q_url_blocklist,
     "domain_pagerank": q_domain_pagerank,
     "domain_harmonic": q_domain_harmonic,
+    "domain_triangles": q_domain_triangles,
     "corpus_mix_temperature": q_corpus_mix_temperature,
     "dsir_select": q_dsir_select,
     "stream_dsir": q_stream_dsir,
@@ -6161,6 +6224,7 @@ QUERIES = {
     # retrieval (batch BM25's first driver check) — window ends here
     "bm25_topk": q_bm25_topk,
     # --- driver-record window boundary is ~here (first 50 entries) ---
+    "docs_chunk": q_docs_chunk,
     "pack_sequences": q_pack_sequences,
     "vocab_topk": q_vocab_topk,
     "dedup_containment": q_dedup_containment,
@@ -6370,6 +6434,7 @@ ORACLE_SQL = {
     "url_blocklist": ORACLE_URL_BLOCKLIST,
     "domain_pagerank": ORACLE_DOMAIN_PAGERANK,
     "domain_harmonic": ORACLE_DOMAIN_HARMONIC,
+    "domain_triangles": ORACLE_DOMAIN_TRIANGLES,
     "pack_sequences": _oracle_pack_sequences(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,

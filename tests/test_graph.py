@@ -174,3 +174,51 @@ def test_hyperball_balls_monotone_and_repartition_invariant(spark):
     rows_b = sorted(tuple(r) for r in b.collect())
     release_persisted(b)
     assert rows_a == rows_b
+
+
+def test_triangle_stats_matches_brute_force(spark):
+    from itertools import combinations
+
+    from entity_resolution_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # deterministic pseudo-random multigraph with self-loops + both
+    # directions (all must collapse to the simple undirected graph)
+    edges = [(f"n{(i * 7) % 13}", f"n{(i * i + 3) % 13}")
+             for i in range(60)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = triangle_stats(df)
+    got = {r["node"]: (r["n_neighbors"], r["n_triangles"], r["n_wedges"],
+                       r["clustering"]) for r in out.collect()}
+    release_persisted(out)
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for node, nbs in adj.items():
+        tri = sum(1 for x, y in combinations(sorted(nbs), 2)
+                  if tuple(sorted((x, y))) in und)
+        deg = len(nbs)
+        wedges = deg * (deg - 1) // 2
+        want = (deg, tri, wedges, tri / wedges if wedges else 0.0)
+        assert got[node] == want, (node, got[node], want)
+    assert set(got) == set(adj)
+
+
+def test_triangle_stats_repartition_invariant(spark):
+    from entity_resolution_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    edges = [(f"n{(i * 5) % 9}", f"n{(i + 2) % 9}") for i in range(40)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = triangle_stats(df)
+    ra = sorted(tuple(r) for r in a.collect())
+    release_persisted(a)
+    b = triangle_stats(df.repartition(13))
+    rb = sorted(tuple(r) for r in b.collect())
+    release_persisted(b)
+    assert ra == rb
