@@ -109,6 +109,34 @@ class TableIO:
             r = r.schema(schema)
         return r.csv(self.path(name))
 
+    def write_jsonl(self, name: str, df: DataFrame,
+                    compress: bool = True,
+                    meta: dict[str, Any] | None = None) -> None:
+        """JSON-Lines sink — the interchange format LLM training corpora
+        actually ship as (one JSON object per line, gzip shards). Spark's
+        native json writer IS jsonl; distributed, one shard per
+        partition — `repartition(n)` upstream to target shard count/size.
+        Manifest-committed like the parquet sink."""
+        w = df.write.mode("overwrite")
+        if compress:
+            w = w.option("compression", "gzip")
+        w.json(self.path(name))
+        m = self._read_manifest()
+        m["committed"][name] = {
+            "monotonic": time.monotonic_ns(),
+            "meta": {**(meta or {}), "format": "jsonl"},
+        }
+        self._write_manifest(m)
+
+    def read_jsonl(self, name: str, schema=None) -> DataFrame:
+        """Schema-pinned jsonl read: pass the schema in production —
+        schema inference is a full extra pass over 100 TB and silently
+        widens types; inference is for ad-hoc exploration only."""
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.json(self.path(name))
+
     def is_committed(self, name: str) -> bool:
         return name in self._read_manifest()["committed"]
 

@@ -44,3 +44,22 @@ def test_bucketed_join_no_shuffle(spark, tmp_root):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_jsonl_roundtrip_committed(spark, tmp_path):
+    """JSONL shards (the LLM-corpus interchange format): schema-pinned
+    roundtrip is lossless incl. nulls and unicode, shards are gzipped,
+    and the manifest commits the sink."""
+    from entity_resolution_pipeline_spark.sources.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    rows = [(1, "héllo wörld", "en"), (2, None, "de"), (3, "x\ty", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    io.write_jsonl("docs_out", df.repartition(2), meta={"split": "train"})
+    assert io.is_committed("docs_out")
+    assert io.committed_meta("docs_out")["format"] == "jsonl"
+    import glob
+    assert glob.glob(io.path("docs_out") + "/*.json.gz")
+    back = io.read_jsonl("docs_out", schema=df.schema)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
