@@ -58,7 +58,7 @@ BATTERY = [
     "ccnet_buckets",
     # final round-5 rows
     "sketch_hll", "url_blocklist", "domain_pagerank", "domain_harmonic",
-    "domain_triangles",
+    "domain_triangles", "domain_trustrank",
 ]
 
 

@@ -120,6 +120,77 @@ def hyperball_harmonic(edges: DataFrame, src_col: str = "src",
     return out
 
 
+def trustrank(edges: DataFrame, seeds: list[str],
+              src_col: str = "src", dst_col: str = "dst",
+              n_iter: int = 3, damping: int = PR_DAMPING) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
+    with teleport (and dangling mass) restricted to a TRUSTED seed set —
+    the classic web-spam demotion signal. Good domains inherit trust
+    through links from seeds; spam farms, however densely self-linked,
+    receive none unless a trusted domain links in.
+
+    Same fixed-point micro-rank machinery as :func:`pagerank` (exact
+    bigint math, oracle-replayable at any partitioning); the only
+    changes are the initial/teleport vector — ``PR_SCALE div |S|`` on
+    seeds, 0 elsewhere — and dangling mass returning to seeds. The seed
+    set is driver-state (a literal `isin`), exactly like the pinned ANN
+    centroids: at web scale it's the few-hundred-domain human-audited
+    whitelist the paper prescribes, trivially broadcastable.
+
+    Returns (node, trust_micro, trust)."""
+    e = (edges.groupBy(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .agg(F.count("*").alias("w")))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = e.join(out_w, "src").persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    n_seeds = len(set(seeds))
+    if n_seeds == 0:
+        raise ValueError("trustrank requires a non-empty seed set")
+    r0 = PR_SCALE // n_seeds
+    is_seed = F.col("node").isin(list(set(seeds)))
+
+    ranks = nodes.withColumn(
+        "rank", F.when(is_seed, F.lit(r0)).otherwise(F.lit(0)).cast("long"))
+    own = [e, nodes]
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"),
+                    F.expr("(rank * w) div out_w").alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("inflow"))
+        )
+        dang = (
+            ranks.join(out_w.select(F.col("src").alias("node")),
+                       "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dang"))
+        )
+        teleport = (F.when(is_seed,
+                           F.lit((100 - damping) * r0).cast("long")
+                           + F.lit(damping)
+                           * F.expr(f"dang div {n_seeds}L"))
+                    .otherwise(F.lit(0).cast("long")))
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .withColumn("tp", teleport)
+            .select(
+                "node",
+                F.expr(f"(tp + {damping} * coalesce(inflow, 0L)) div 100")
+                .cast("long").alias("rank"),
+            )
+            .persist()
+        )
+        own.append(ranks)
+    out = ranks.select(
+        "node", F.col("rank").alias("trust_micro"),
+        F.round(F.col("rank") / F.lit(float(PR_SCALE)), 9).alias("trust"))
+    out._erps_persisted = own
+    return out
+
+
 def triangle_stats(edges: DataFrame, src_col: str = "src",
                    dst_col: str = "dst") -> DataFrame:
     """Per-node triangle count + local clustering coefficient over the

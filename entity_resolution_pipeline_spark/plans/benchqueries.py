@@ -3911,6 +3911,85 @@ FROM deg d LEFT JOIN tri t USING (node)
 ORACLE_DOMAIN_TRIANGLES = _oracle_domain_triangles()
 
 
+# Trusted seed whitelist for the trustrank row: the site*.co.uk family.
+TRUSTRANK_SEEDS = [f"site{i}.co.uk" for i in range(7)]
+
+
+def q_domain_trustrank(spark, sf_dir):
+    """TrustRank (Gyöngyi et al., VLDB 2004) over the same domain link
+    graph as domain_pagerank: teleport and dangling mass restricted to a
+    trusted seed whitelist (the site*.co.uk family), so trust flows only
+    along links out of seeds — the classic web-spam demotion prior.
+    Same exact fixed-point micro-rank arithmetic; the oracle replays all
+    three iterations with the seed CASE.
+    Library: operators/graph.py:trustrank."""
+    from ..operators.graph import trustrank
+
+    docs = _t(spark, sf_dir, "documents")
+    return trustrank(_pr_edges(docs), TRUSTRANK_SEEDS,
+                     n_iter=PAGERANK_ITERS)
+
+
+def _oracle_domain_trustrank() -> str:
+    from ..operators.graph import PR_DAMPING, PR_SCALE
+
+    dom = ("CASE CAST({x} % 3 AS INT)"
+           " WHEN 0 THEN 'site' || CAST({x} % 7 AS VARCHAR) || '.co.uk'"
+           " WHEN 1 THEN 'example.org'"
+           " ELSE 'cdn' || CAST({x} % 7 AS VARCHAR) || '.io' END")
+    d = PR_DAMPING
+    n_seeds = len(TRUSTRANK_SEEDS)
+    seeds = ", ".join(f"'{s}'" for s in TRUSTRANK_SEEDS)
+    iters = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst AS node, SUM((r.rank * e.w) // e.out_w) AS inflow
+  FROM e JOIN {prev} r ON r.node = e.src GROUP BY e.dst
+), dg{i} AS (
+  SELECT COALESCE(SUM(rank), 0) AS dang FROM {prev}
+  WHERE node NOT IN (SELECT src FROM e)
+), r{i} AS (
+  SELECT n.node,
+         (CASE WHEN n.node IN ({seeds})
+               THEN {100 - d} * (SELECT rz FROM params)
+                    + {d} * ((SELECT dang FROM dg{i}) // {n_seeds})
+               ELSE 0 END
+          + {d} * COALESCE(c.inflow, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN c{i} c USING (node)
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH e0 AS (
+  SELECT {dom.format(x='doc_id')} AS src,
+         {dom.format(x='(5 * doc_id + 3)')} AS dst
+  FROM documents
+), ew AS (
+  SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY src, dst
+), e AS (
+  SELECT ew.src, ew.dst, ew.w, o.out_w
+  FROM ew JOIN (SELECT src, SUM(w) AS out_w FROM ew GROUP BY src) o
+    USING (src)
+), nodes AS (
+  SELECT DISTINCT node FROM
+    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+), params AS (
+  SELECT {PR_SCALE} // {n_seeds} AS rz
+), r0 AS (
+  SELECT node, CASE WHEN node IN ({seeds})
+                    THEN (SELECT rz FROM params) ELSE 0 END AS rank
+  FROM nodes
+),{','.join(iters)}
+SELECT node, rank AS trust_micro,
+       round(CAST(rank AS DOUBLE) / {float(PR_SCALE)!r}, 9) AS trust
+FROM {prev}
+"""
+
+
+ORACLE_DOMAIN_TRUSTRANK = _oracle_domain_trustrank()
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (the sample-prep step after chunking): md5-shard
     docs, order chunks within the shard, assign each chunk to the
@@ -6163,11 +6242,12 @@ QUERIES = {
     # same shingle-join contract as the staying dedup_ngram_jaccard — and
     # dedup_winnow_pairs — r04-green, winnow fingerprints still
     # driver-checked via the staying docs_winnow)
-    # (domain_harmonic + domain_triangles enter last; pack_sequences and
-    # docs_chunk rotate out — both r04-driver-green, their chunk fan-out
-    # + shard-window machinery stays exercised inside the staying
-    # training_corpus capstone, and pack's window plan shape is
-    # pytest-pinned)
+    # (domain_harmonic + domain_triangles + domain_trustrank enter last;
+    # pack_sequences, docs_chunk and corpus_length_stats rotate out — all
+    # r04-driver-green: the chunk fan-out + shard-window machinery stays
+    # exercised inside the staying training_corpus capstone, pack's
+    # window plan shape is pytest-pinned, and descriptive stats remain
+    # driver-checked via the staying docs_token_stats)
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "stream_sessionize": q_stream_sessionize,
     "incremental_near_dup": q_incremental_near_dup,
@@ -6185,7 +6265,6 @@ QUERIES = {
     "curation_gate_extended": q_curation_gate_extended,
     "docs_token_stats": q_docs_token_stats,
     "docs_winnow": q_docs_winnow,
-    "corpus_length_stats": q_corpus_length_stats,
     "docs_lm_perplexity": q_docs_lm_perplexity,
     "docs_dup_span": q_docs_dup_span,
     "docs_tfidf": q_docs_tfidf,
@@ -6194,6 +6273,7 @@ QUERIES = {
     "domain_pagerank": q_domain_pagerank,
     "domain_harmonic": q_domain_harmonic,
     "domain_triangles": q_domain_triangles,
+    "domain_trustrank": q_domain_trustrank,
     "corpus_mix_temperature": q_corpus_mix_temperature,
     "dsir_select": q_dsir_select,
     "stream_dsir": q_stream_dsir,
@@ -6224,6 +6304,7 @@ QUERIES = {
     # retrieval (batch BM25's first driver check) — window ends here
     "bm25_topk": q_bm25_topk,
     # --- driver-record window boundary is ~here (first 50 entries) ---
+    "corpus_length_stats": q_corpus_length_stats,
     "docs_chunk": q_docs_chunk,
     "pack_sequences": q_pack_sequences,
     "vocab_topk": q_vocab_topk,
@@ -6435,6 +6516,7 @@ ORACLE_SQL = {
     "domain_pagerank": ORACLE_DOMAIN_PAGERANK,
     "domain_harmonic": ORACLE_DOMAIN_HARMONIC,
     "domain_triangles": ORACLE_DOMAIN_TRIANGLES,
+    "domain_trustrank": ORACLE_DOMAIN_TRUSTRANK,
     "pack_sequences": _oracle_pack_sequences(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,

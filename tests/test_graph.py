@@ -222,3 +222,50 @@ def test_triangle_stats_repartition_invariant(spark):
     rb = sorted(tuple(r) for r in b.collect())
     release_persisted(b)
     assert ra == rb
+
+
+def test_trustrank_spam_island_gets_zero_trust(spark):
+    """The defining TrustRank property: a densely self-linked component
+    with NO in-link from the trusted side holds exactly zero trust at
+    every iteration, while trust flows down the seeded path."""
+    from entity_resolution_pipeline_spark.operators.graph import trustrank
+
+    edges = [("s", "a"), ("a", "b"),              # trusted path
+             ("f1", "f2"), ("f2", "f3"), ("f3", "f1"),  # spam ring
+             ("f1", "f3"), ("f2", "f1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = trustrank(df, ["s"], n_iter=4)
+    got = {r["node"]: r["trust_micro"] for r in out.collect()}
+    release_persisted(out)
+    assert got["f1"] == got["f2"] == got["f3"] == 0
+    assert got["a"] > 0 and got["b"] > 0 and got["s"] > 0
+
+
+def test_trustrank_matches_scalar_reference(spark):
+    from entity_resolution_pipeline_spark.operators.graph import trustrank
+
+    edges = [("s", "a"), ("a", "b"), ("b", "spam"), ("spam", "spam2"),
+             ("spam2", "spam"), ("s", "b"), ("t", "a"), ("b", "t")]
+    seeds = ["s", "t"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = trustrank(df, seeds, n_iter=3)
+    got = {r["node"]: r["trust_micro"] for r in out.collect()}
+    release_persisted(out)
+
+    from collections import Counter
+    w = Counter(edges)
+    out_w = Counter()
+    for (s, _), n in w.items():
+        out_w[s] += n
+    nodes = sorted({x for e in edges for x in e})
+    ns = len(seeds)
+    r0 = PR_SCALE // ns
+    rank = {v: (r0 if v in seeds else 0) for v in nodes}
+    for _ in range(3):
+        inflow = {v: 0 for v in nodes}
+        for (s, t), wn in w.items():
+            inflow[t] += (rank[s] * wn) // out_w[s]
+        dang = sum(rank[v] for v in nodes if out_w[v] == 0)
+        rank = {v: ((15 * r0 + 85 * (dang // ns) if v in seeds else 0)
+                    + 85 * inflow[v]) // 100 for v in nodes}
+    assert got == rank
