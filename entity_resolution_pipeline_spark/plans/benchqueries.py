@@ -3990,6 +3990,60 @@ FROM {prev}
 ORACLE_DOMAIN_TRUSTRANK = _oracle_domain_trustrank()
 
 
+def q_domain_prior(spark, sf_dir):
+    """Capstone of the graph layer: the FineWeb-style per-domain quality
+    PRIOR — volume + mean content quality (domain_stats) joined with
+    PageRank mass, TrustRank trust, and clustering coefficient over the
+    same 15-domain universe; keep ⇔ volume_ok ∧ quality_ok ∧ trusted.
+    This is the claim in operators/graph.py's header made executable:
+    link centrality feeds the SAME gate machinery as the content
+    signals. Four 15-row frames, three id-keyed joins — the composition
+    is free; all cost lives in the audited component plans. Full-plan
+    oracle composes the four component oracles as nested CTEs."""
+    stats = q_domain_stats(spark, sf_dir)
+    pr = q_domain_pagerank(spark, sf_dir)
+    tr = q_domain_trustrank(spark, sf_dir)
+    tg = q_domain_triangles(spark, sf_dir)
+    out = (
+        stats
+        .join(pr.select(F.col("node").alias("etld1"), "rank_micro"), "etld1")
+        .join(tr.select(F.col("node").alias("etld1"), "trust_micro"), "etld1")
+        .join(tg.select(F.col("node").alias("etld1"),
+                        "n_triangles", "clustering"), "etld1")
+        .select(
+            "etld1", "n_docs", "avg_quality", "rank_micro", "trust_micro",
+            "n_triangles", "clustering",
+            (F.col("volume_ok") & F.col("quality_ok")
+             & (F.col("trust_micro") > 0)).alias("keep"),
+        )
+    )
+    out._erps_persisted = [
+        *getattr(pr, "_erps_persisted", []),
+        *getattr(tr, "_erps_persisted", []),
+        *getattr(tg, "_erps_persisted", []),
+    ]
+    return out
+
+
+def _oracle_domain_prior() -> str:
+    return f"""
+WITH ds AS ({_oracle_domain_stats()}),
+pr AS ({ORACLE_DOMAIN_PAGERANK}),
+tr AS ({ORACLE_DOMAIN_TRUSTRANK}),
+tg AS ({ORACLE_DOMAIN_TRIANGLES})
+SELECT ds.etld1, ds.n_docs, ds.avg_quality, pr.rank_micro,
+       tr.trust_micro, tg.n_triangles, tg.clustering,
+       (ds.volume_ok AND ds.quality_ok AND tr.trust_micro > 0) AS keep
+FROM ds
+JOIN pr ON pr.node = ds.etld1
+JOIN tr ON tr.node = ds.etld1
+JOIN tg ON tg.node = ds.etld1
+"""
+
+
+ORACLE_DOMAIN_PRIOR = _oracle_domain_prior()
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (the sample-prep step after chunking): md5-shard
     docs, order chunks within the shard, assign each chunk to the
@@ -6248,6 +6302,10 @@ QUERIES = {
     # exercised inside the staying training_corpus capstone, pack's
     # window plan shape is pytest-pinned, and descriptive stats remain
     # driver-checked via the staying docs_token_stats)
+    # (domain_prior — the graph-layer capstone — enters last;
+    # docs_lm_perplexity rotates out: r04-driver-green, the LM scoring
+    # plan stays driver-checked inside the staying
+    # curation_gate_extended's perplexity cap)
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "stream_sessionize": q_stream_sessionize,
     "incremental_near_dup": q_incremental_near_dup,
@@ -6265,7 +6323,6 @@ QUERIES = {
     "curation_gate_extended": q_curation_gate_extended,
     "docs_token_stats": q_docs_token_stats,
     "docs_winnow": q_docs_winnow,
-    "docs_lm_perplexity": q_docs_lm_perplexity,
     "docs_dup_span": q_docs_dup_span,
     "docs_tfidf": q_docs_tfidf,
     "domain_stats": q_domain_stats,
@@ -6274,6 +6331,7 @@ QUERIES = {
     "domain_harmonic": q_domain_harmonic,
     "domain_triangles": q_domain_triangles,
     "domain_trustrank": q_domain_trustrank,
+    "domain_prior": q_domain_prior,
     "corpus_mix_temperature": q_corpus_mix_temperature,
     "dsir_select": q_dsir_select,
     "stream_dsir": q_stream_dsir,
@@ -6304,6 +6362,7 @@ QUERIES = {
     # retrieval (batch BM25's first driver check) — window ends here
     "bm25_topk": q_bm25_topk,
     # --- driver-record window boundary is ~here (first 50 entries) ---
+    "docs_lm_perplexity": q_docs_lm_perplexity,
     "corpus_length_stats": q_corpus_length_stats,
     "docs_chunk": q_docs_chunk,
     "pack_sequences": q_pack_sequences,
@@ -6517,6 +6576,7 @@ ORACLE_SQL = {
     "domain_harmonic": ORACLE_DOMAIN_HARMONIC,
     "domain_triangles": ORACLE_DOMAIN_TRIANGLES,
     "domain_trustrank": ORACLE_DOMAIN_TRUSTRANK,
+    "domain_prior": ORACLE_DOMAIN_PRIOR,
     "pack_sequences": _oracle_pack_sequences(),
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
     "stream_sessionize": ORACLE_EVENTS_SESSIONIZE,
